@@ -1,0 +1,226 @@
+"""Ground-truth correspondence generation
+(reference `gluefactory/geometry/gt_generation.py`).
+
+Converts two-view geometry (homography / pose+depth) into match supervision:
+per-keypoint labels in {-2 (IGNORE), -1 (UNMATCHED)} ∪ [0, M) and a dense
+assignment matrix for NLL losses.
+
+TPU-first design: all inputs are fixed-size padded keypoint sets with
+validity masks; labels are computed by masked distance-matrix math — no
+data-dependent shapes, fully jittable and vmappable. Padded (invalid)
+keypoints are always labeled IGNORE.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .depth import project, sample_depth_bilinear
+from .epipolar import T_to_E, sym_epipolar_distance_all
+from .homography import warp_points
+from .wrappers import Camera, Pose
+
+IGNORE_FEATURE = -2
+UNMATCHED_FEATURE = -1
+
+INF = 1e9
+
+
+def _masked_dist(d, mask):
+    return jnp.where(mask, d, jnp.full_like(d, INF))
+
+
+def _assignment_from_dist(
+    dist: jnp.ndarray,
+    valid0: jnp.ndarray,
+    valid1: jnp.ndarray,
+    pos_th: float,
+    neg_th: float,
+    certain0: jnp.ndarray | None = None,
+    certain1: jnp.ndarray | None = None,
+    can_neg0: jnp.ndarray | None = None,
+    can_neg1: jnp.ndarray | None = None,
+):
+    """Mutual-min assignment with pos/neg thresholds
+    (reference `gt_generation.py:669-712` core logic).
+
+    dist: (..., N, M) with invalid entries >= INF.
+    valid0/valid1: (..., N)/(..., M) keypoint validity.
+    certain0/certain1: optional masks marking keypoints whose *negative* label
+    is certain regardless of dist (e.g. epipolar-distance negatives).
+    Returns (gt_assignment bool (..., N, M), gt_matches0 (..., N),
+    gt_matches1 (..., M)).
+    """
+    N, M = dist.shape[-2], dist.shape[-1]
+    min0 = jnp.min(dist, axis=-1)  # (..., N)
+    min1 = jnp.min(dist, axis=-2)  # (..., M)
+    arg0 = jnp.argmin(dist, axis=-1)  # (..., N)
+    arg1 = jnp.argmin(dist, axis=-2)  # (..., M)
+
+    # mutual nearest neighbors
+    idx_n = jnp.arange(N)
+    idx_m = jnp.arange(M)
+    mutual0 = jnp.take_along_axis(arg1, arg0, axis=-1) == idx_n  # (..., N)
+    mutual1 = jnp.take_along_axis(arg0, arg1, axis=-1) == idx_m  # (..., M)
+
+    positive0 = mutual0 & (min0 < pos_th) & valid0
+    positive1 = mutual1 & (min1 < pos_th) & valid1
+
+    # a pair is positive only if both endpoints agree
+    pos_pair0 = positive0 & jnp.take_along_axis(positive1, arg0, axis=-1)
+    pos_pair1 = positive1 & jnp.take_along_axis(positive0, arg1, axis=-1)
+
+    # scatter positives: row i -> col arg0[i]
+    assignment = (idx_m[None, :] == arg0[..., :, None]) & pos_pair0[..., :, None]
+
+    negative0 = (min0 > neg_th) & valid0
+    negative1 = (min1 > neg_th) & valid1
+    # a "far from everything" negative is only trustworthy if the keypoint's
+    # own reprojection was valid (else the distances are meaningless INF)
+    if can_neg0 is not None:
+        negative0 = negative0 & can_neg0
+    if can_neg1 is not None:
+        negative1 = negative1 & can_neg1
+    if certain0 is not None:
+        negative0 = negative0 | (certain0 & valid0)
+    if certain1 is not None:
+        negative1 = negative1 | (certain1 & valid1)
+
+    matches0 = jnp.where(
+        pos_pair0,
+        arg0,
+        jnp.where(negative0 & ~pos_pair0, UNMATCHED_FEATURE, IGNORE_FEATURE),
+    )
+    matches1 = jnp.where(
+        pos_pair1,
+        arg1,
+        jnp.where(negative1 & ~pos_pair1, UNMATCHED_FEATURE, IGNORE_FEATURE),
+    )
+    matches0 = jnp.where(valid0, matches0, IGNORE_FEATURE)
+    matches1 = jnp.where(valid1, matches1, IGNORE_FEATURE)
+    return assignment, matches0.astype(jnp.int32), matches1.astype(jnp.int32)
+
+
+def gt_matches_from_homography(
+    kp0: jnp.ndarray,
+    kp1: jnp.ndarray,
+    H: jnp.ndarray,
+    valid0: jnp.ndarray | None = None,
+    valid1: jnp.ndarray | None = None,
+    pos_th: float = 3.0,
+    neg_th: float = 6.0,
+):
+    """GT matches under a known homography (reference `gt_generation.py:731`).
+
+    kp0: (..., N, 2), kp1: (..., M, 2), H: (..., 3, 3) mapping view0 -> view1.
+    Returns dict with gt_assignment/gt_matches0/gt_matches1 and the warped
+    keypoint reprojections.
+    """
+    if valid0 is None:
+        valid0 = jnp.ones(kp0.shape[:-1], bool)
+    if valid1 is None:
+        valid1 = jnp.ones(kp1.shape[:-1], bool)
+    kp0_1 = warp_points(kp0, H, inverse=False)
+    kp1_0 = warp_points(kp1, H, inverse=True)
+    d0 = jnp.sum((kp0_1[..., :, None, :] - kp1[..., None, :, :]) ** 2, axis=-1)
+    d1 = jnp.sum((kp0[..., :, None, :] - kp1_0[..., None, :, :]) ** 2, axis=-1)
+    dist = jnp.maximum(d0, d1)
+    mask = valid0[..., :, None] & valid1[..., None, :]
+    dist = _masked_dist(jnp.sqrt(jnp.maximum(dist, 0.0)), mask)
+    assignment, m0, m1 = _assignment_from_dist(dist, valid0, valid1, pos_th, neg_th)
+    return {
+        "gt_assignment": assignment,
+        "gt_matches0": m0,
+        "gt_matches1": m1,
+        "gt_kp0_1": kp0_1,
+        "gt_kp1_0": kp1_0,
+    }
+
+
+def gt_matches_from_pose_depth(
+    kp0: jnp.ndarray,
+    kp1: jnp.ndarray,
+    depth0: jnp.ndarray,
+    depth1: jnp.ndarray,
+    cam0: Camera,
+    cam1: Camera,
+    T_0to1: Pose,
+    valid0: jnp.ndarray | None = None,
+    valid1: jnp.ndarray | None = None,
+    pos_th: float = 3.0,
+    neg_th: float = 5.0,
+    epi_th: float | None = None,
+    cc_th: float | None = 0.05,
+    kp0_depth: jnp.ndarray | None = None,
+    kp1_depth: jnp.ndarray | None = None,
+):
+    """GT matches from relative pose + dense depth
+    (reference `gt_generation.py:594-728`).
+
+    Two-way reprojection with cycle consistency; mutual-min assignment;
+    epipolar-distance extra negatives (keypoints far from all epipolar lines
+    are certain negatives even where depth is missing,
+    reference `gt_generation.py:706-712`).
+    kp{0,1}_depth: optional precomputed keypoint depths (sparse-cache path).
+    """
+    if valid0 is None:
+        valid0 = jnp.ones(kp0.shape[:-1], bool)
+    if valid1 is None:
+        valid1 = jnp.ones(kp1.shape[:-1], bool)
+
+    if kp0_depth is None:
+        d0, dv0 = sample_depth_bilinear(depth0, kp0)
+    else:
+        d0, dv0 = kp0_depth, kp0_depth > 0
+    if kp1_depth is None:
+        d1, dv1 = sample_depth_bilinear(depth1, kp1)
+    else:
+        d1, dv1 = kp1_depth, kp1_depth > 0
+
+    kp0_1, pv0 = project(
+        kp0, d0, depth1, cam0, cam1, T_0to1, valid0 & dv0, ccth=cc_th
+    )
+    kp1_0, pv1 = project(
+        kp1, d1, depth0, cam1, cam0, T_0to1.inv(), valid1 & dv1, ccth=cc_th
+    )
+
+    dist0 = jnp.linalg.norm(kp0_1[..., :, None, :] - kp1[..., None, :, :], axis=-1)
+    dist1 = jnp.linalg.norm(kp0[..., :, None, :] - kp1_0[..., None, :, :], axis=-1)
+    # use max when both projections valid, else the valid one, else INF
+    both = pv0[..., :, None] & pv1[..., None, :]
+    one0 = pv0[..., :, None] & ~pv1[..., None, :]
+    one1 = ~pv0[..., :, None] & pv1[..., None, :]
+    dist = jnp.where(
+        both,
+        jnp.maximum(dist0, dist1),
+        jnp.where(one0, dist0, jnp.where(one1, dist1, INF)),
+    )
+    mask = valid0[..., :, None] & valid1[..., None, :]
+    dist = _masked_dist(dist, mask)
+
+    certain0 = certain1 = None
+    if epi_th is not None:
+        # normalized-coordinate epipolar distances
+        r0, _ = cam0.image2world(kp0)
+        r1, _ = cam1.image2world(kp1)
+        E = T_to_E(T_0to1)
+        epi = sym_epipolar_distance_all(r0[..., :2], r1[..., :2], E)
+        epi = _masked_dist(epi, mask)
+        certain0 = jnp.min(epi, axis=-1) > epi_th
+        certain1 = jnp.min(epi, axis=-2) > epi_th
+
+    assignment, m0, m1 = _assignment_from_dist(
+        dist, valid0, valid1, pos_th, neg_th, certain0, certain1,
+        can_neg0=pv0, can_neg1=pv1,
+    )
+    return {
+        "gt_assignment": assignment,
+        "gt_matches0": m0,
+        "gt_matches1": m1,
+        "gt_kp0_1": kp0_1,
+        "gt_kp1_0": kp1_0,
+        "gt_proj_valid0": pv0,
+        "gt_proj_valid1": pv1,
+        "gt_depth_keypoints0": d0,
+        "gt_depth_keypoints1": d1,
+    }

