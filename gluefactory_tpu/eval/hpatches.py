@@ -27,6 +27,7 @@ from ..utils.tools import AUCMetric
 from .eval_pipeline import EvalPipeline
 from .io import get_eval_parser, load_model, parse_eval_args
 from .utils import (
+    rescale_pred_to_views,
     eval_homography_dlt,
     eval_homography_robust,
     eval_matches_homography,
@@ -117,6 +118,7 @@ class HPatchesPipeline(EvalPipeline):
                 if isinstance(name, list):
                     name = name[0]
                 pred = {k: v.__array__() for k, v in hfile[str(name)].items()}
+                pred = rescale_pred_to_views(pred, data)
                 results_i = eval_matches_homography(data, pred)
                 results_i.update(eval_homography_dlt(data, pred))
                 for th in test_thresholds:

@@ -20,6 +20,25 @@ from ..robust_estimators import load_estimator
 from ..utils.tools import AUCMetric
 
 
+def rescale_pred_to_views(pred: dict, data: dict) -> dict:
+    """Re-scale cached original-coordinate predictions to the (resized) view
+    coordinates of the eval loader — the Loop-2 half of the reference's
+    cache round-trip (export de-scales `export_predictions.py:55-73`;
+    CacheLoader re-scales `cache_loader.py:152-161`)."""
+    out = dict(pred)
+    for i in ("0", "1"):
+        view = data.get(f"view{i}", {})
+        scales = view.get("scales") if isinstance(view, dict) else None
+        if scales is None:
+            continue
+        s = np.asarray(scales, np.float32)
+        if f"keypoints{i}" in out:
+            out[f"keypoints{i}"] = (np.asarray(out[f"keypoints{i}"]) + 0.5) * s - 0.5
+        if f"lines{i}" in out:
+            out[f"lines{i}"] = (np.asarray(out[f"lines{i}"]) + 0.5) * s[None] - 0.5
+    return out
+
+
 def get_matches_scores(kpts0, kpts1, matches0, mscores0):
     """Gather matched keypoint pairs (fixed shape, with validity).
 
@@ -75,9 +94,15 @@ def eval_matches_epipolar(data: dict, pred: dict) -> dict:
     p0, p1, scores, valid = get_matches_scores(
         pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
     )
-    F = T_to_F(cam0, cam1, T_0to1)
+    # normalized-coordinate epipolar distance (the reference's convention:
+    # thresholds 1e-4..1e-3 are in K^-1 units, `eval/utils.py:45-76`)
+    r0, _ = cam0.image2world(jnp.asarray(p0))
+    r1, _ = cam1.image2world(jnp.asarray(p1))
+    from ..geometry.epipolar import T_to_E
+
+    E = T_to_E(T_0to1)
     err = np.asarray(
-        sym_epipolar_distance(jnp.asarray(p0), jnp.asarray(p1), F, squared=False)
+        sym_epipolar_distance(r0[..., :2], r1[..., :2], E, squared=False)
     )
     err = np.where(valid, err, np.inf)
     nv = max(valid.sum(), 1)

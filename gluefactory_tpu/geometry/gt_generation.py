@@ -224,3 +224,160 @@ def gt_matches_from_pose_depth(
         "gt_depth_keypoints0": d0,
         "gt_depth_keypoints1": d1,
     }
+
+
+# ---------------------------------------------------------------------------
+# Line GT (reference `gt_generation.py:848-1198`)
+# ---------------------------------------------------------------------------
+
+
+def _line_point_samples(lines: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Sample n points along each segment. lines: (..., L, 2, 2) -> (..., L, n, 2)."""
+    t = jnp.linspace(0.0, 1.0, n)[:, None]
+    return lines[..., 0:1, :] * (1 - t) + lines[..., 1:2, :] * t
+
+
+def _line_overlap_fraction(pts, lines, dist_th):
+    """Fraction of sampled points of each source line lying on each target
+    segment (perpendicular distance < dist_th AND projection inside).
+
+    pts: (..., L0, n, 2); lines: (..., L1, 2, 2) -> (..., L0, L1).
+    """
+    a = lines[..., 0, :]  # (..., L1, 2)
+    b = lines[..., 1, :]
+    ab = b - a
+    len2 = jnp.maximum(jnp.sum(ab**2, -1), 1e-8)  # (..., L1)
+    # (..., L0, n, L1, 2) diffs
+    d = pts[..., :, :, None, :] - a[..., None, None, :, :]
+    tproj = jnp.sum(d * ab[..., None, None, :, :], -1) / len2[..., None, None, :]
+    proj = a[..., None, None, :, :] + tproj[..., None] * ab[..., None, None, :, :]
+    perp = jnp.linalg.norm(pts[..., :, :, None, :] - proj, axis=-1)
+    on = (perp < dist_th) & (tproj >= 0.0) & (tproj <= 1.0)
+    return jnp.mean(on.astype(jnp.float32), axis=-2)  # mean over samples
+
+
+def gt_line_matches_from_homography(
+    lines0: jnp.ndarray,
+    lines1: jnp.ndarray,
+    H: jnp.ndarray,
+    valid0: jnp.ndarray | None = None,
+    valid1: jnp.ndarray | None = None,
+    n_samples: int = 21,
+    dist_th: float = 5.0,
+    overlap_th: float = 0.2,
+):
+    """GT line matches under a homography
+    (reference `gt_line_matches_from_homography:1050`).
+
+    Both-direction segment overlap; mutual-max positives above overlap_th,
+    negatives when a line overlaps nothing, invalid lines IGNORE.
+    """
+    from .homography import warp_points
+
+    if valid0 is None:
+        valid0 = jnp.ones(lines0.shape[:-2], bool)
+    if valid1 is None:
+        valid1 = jnp.ones(lines1.shape[:-2], bool)
+    pts0 = _line_point_samples(lines0, n_samples)  # (..., L0, n, 2)
+    shape0 = pts0.shape
+    pts0_1 = warp_points(pts0.reshape(shape0[:-3] + (-1, 2)), H, inverse=False)
+    pts0_1 = pts0_1.reshape(shape0)
+    pts1 = _line_point_samples(lines1, n_samples)
+    shape1 = pts1.shape
+    pts1_0 = warp_points(pts1.reshape(shape1[:-3] + (-1, 2)), H, inverse=True)
+    pts1_0 = pts1_0.reshape(shape1)
+
+    ov01 = _line_overlap_fraction(pts0_1, lines1, dist_th)  # (..., L0, L1)
+    ov10 = jnp.swapaxes(
+        _line_overlap_fraction(pts1_0, lines0, dist_th), -1, -2
+    )  # (..., L0, L1)
+    overlap = jnp.minimum(ov01, ov10)
+    mask = valid0[..., :, None] & valid1[..., None, :]
+    overlap = jnp.where(mask, overlap, 0.0)
+
+    # mutual-max assignment on overlap (higher = better)
+    dist = _masked_dist(1.0 - overlap, mask)  # reuse min-based machinery
+    assignment, m0, m1 = _assignment_from_dist(
+        dist, valid0, valid1, pos_th=1.0 - overlap_th, neg_th=1.0 - 1e-6
+    )
+    return {
+        "gt_line_assignment": assignment,
+        "gt_line_matches0": m0,
+        "gt_line_matches1": m1,
+        "gt_line_overlap": overlap,
+    }
+
+
+def gt_matches_from_sparse_map(
+    kp0: jnp.ndarray,
+    kp1: jnp.ndarray,
+    p3d_ids0: jnp.ndarray,
+    p3d_ids1: jnp.ndarray,
+    kp0_depth: jnp.ndarray,
+    kp1_depth: jnp.ndarray,
+    cam0: Camera,
+    cam1: Camera,
+    T_0to1: Pose,
+    valid0: jnp.ndarray | None = None,
+    valid1: jnp.ndarray | None = None,
+    pos_th: float = 3.0,
+    neg_th: float = 5.0,
+):
+    """GT matches from a sparse SfM map
+    (reference `gt_matches_from_pose_sparse_map:442`).
+
+    Positives come from shared 3D point IDs (exact track co-visibility);
+    negatives from sparse-depth reprojection distances: a keypoint with valid
+    depth whose reprojection is far from every other keypoint is UNMATCHED;
+    keypoints without depth/track are IGNORE.
+    """
+    if valid0 is None:
+        valid0 = jnp.ones(kp0.shape[:-1], bool)
+    if valid1 is None:
+        valid1 = jnp.ones(kp1.shape[:-1], bool)
+
+    has_id0 = (p3d_ids0 >= 0) & valid0
+    has_id1 = (p3d_ids1 >= 0) & valid1
+    same_id = (
+        (p3d_ids0[..., :, None] == p3d_ids1[..., None, :])
+        & has_id0[..., :, None]
+        & has_id1[..., None, :]
+    )  # (..., N, M) exact positives
+
+    # reprojection for negative labels
+    kp0_1, pv0 = project(
+        kp0, kp0_depth, None, cam0, cam1, T_0to1, valid0 & (kp0_depth > 0)
+    )
+    kp1_0, pv1 = project(
+        kp1, kp1_depth, None, cam1, cam0, T_0to1.inv(), valid1 & (kp1_depth > 0)
+    )
+    dist0 = jnp.linalg.norm(kp0_1[..., :, None, :] - kp1[..., None, :, :], axis=-1)
+    dist1 = jnp.linalg.norm(kp0[..., :, None, :] - kp1_0[..., None, :, :], axis=-1)
+    mask = valid0[..., :, None] & valid1[..., None, :]
+    d0m = _masked_dist(jnp.where(pv0[..., :, None], dist0, INF), mask)
+    d1m = _masked_dist(jnp.where(pv1[..., None, :], dist1, INF), mask)
+
+    N, M = same_id.shape[-2], same_id.shape[-1]
+    m0_pos = jnp.argmax(same_id, axis=-1)
+    any0 = jnp.any(same_id, axis=-1)
+    m1_pos = jnp.argmax(same_id, axis=-2)
+    any1 = jnp.any(same_id, axis=-2)
+
+    negative0 = (jnp.min(d0m, axis=-1) > neg_th) & pv0 & valid0
+    negative1 = (jnp.min(d1m, axis=-2) > neg_th) & pv1 & valid1
+
+    matches0 = jnp.where(
+        any0, m0_pos, jnp.where(negative0, UNMATCHED_FEATURE, IGNORE_FEATURE)
+    )
+    matches1 = jnp.where(
+        any1, m1_pos, jnp.where(negative1, UNMATCHED_FEATURE, IGNORE_FEATURE)
+    )
+    matches0 = jnp.where(valid0, matches0, IGNORE_FEATURE)
+    matches1 = jnp.where(valid1, matches1, IGNORE_FEATURE)
+    return {
+        "gt_assignment": same_id,
+        "gt_matches0": matches0.astype(jnp.int32),
+        "gt_matches1": matches1.astype(jnp.int32),
+        "gt_kp0_1": kp0_1,
+        "gt_kp1_0": kp1_0,
+    }

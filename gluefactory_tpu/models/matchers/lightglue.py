@@ -61,9 +61,10 @@ class SelfBlock(nn.Module):
     def __call__(self, x, encoding, mask):
         B, N, D = x.shape
         H = self.num_heads
-        qkv = nn.Dense(3 * D, name="Wqkv")(x).reshape(B, N, H, 3, D // H)
+        # qkv layout matches the official checkpoints: innermost (Dh, 3)
+        qkv = nn.Dense(3 * D, name="Wqkv")(x).reshape(B, N, H, D // H, 3)
         q, k, v = (
-            jnp.moveaxis(qkv[..., i, :], 2, 1) for i in range(3)
+            jnp.moveaxis(qkv[..., i], 2, 1) for i in range(3)
         )  # (B, H, N, Dh)
         q = apply_cached_rotary_emb(encoding, q)
         k = apply_cached_rotary_emb(encoding, k)

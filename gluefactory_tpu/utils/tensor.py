@@ -42,8 +42,20 @@ def rbd(data: dict) -> dict:
     }
 
 
+def _first_array(d):
+    for v in d.values():
+        if isinstance(v, dict):
+            a = _first_array(v)
+            if a is not None:
+                return a
+        elif hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
+            return v
+    return None
+
+
 def index_batch(tensor_dict):
     """Iterate over the items of a batched data dict."""
-    batch_size = len(next(iter(tensor_dict.values())))
-    for i in range(batch_size):
+    arr = _first_array(tensor_dict)
+    assert arr is not None, "no array leaves in batch"
+    for i in range(arr.shape[0]):
         yield map_tensor(tensor_dict, lambda t: t[i])

@@ -1,0 +1,285 @@
+"""Torch-checkpoint -> flax-params converters.
+
+Covers the official pretrained weights a reference user would bring along
+(SURVEY.md §7.3 "weight conversion fidelity"):
+  - SuperPoint (MagicLeap official, no BN; rpautrat open, BN folded)
+  - LightGlue (official, incl. the reference's rename map
+    `lightglue.py:375-401` semantics)
+  - SuperGlue (MagicLeap official, BN folded, conf.norm="none")
+
+All converters return the flax params pytree matching the corresponding
+`gluefactory_tpu` module's `init` structure (scan-stacked layers get a
+leading L axis). No torch code runs on device: tensors are read on CPU and
+converted to numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_torch_state_dict(path):
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def t_linear(sd, name):
+    """torch Linear -> flax Dense."""
+    out = {"kernel": np.ascontiguousarray(sd[f"{name}.weight"].T)}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def t_conv(sd, name):
+    """torch Conv2d (O, I, H, W) -> flax Conv (H, W, I, O)."""
+    w = sd[f"{name}.weight"]
+    out = {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0)))}
+    if f"{name}.bias" in sd:
+        out["bias"] = sd[f"{name}.bias"]
+    return out
+
+
+def t_layernorm(sd, name):
+    return {"scale": sd[f"{name}.weight"], "bias": sd[f"{name}.bias"]}
+
+
+def fold_bn_conv(sd, conv_name, bn_name, eps=1e-5):
+    """Fold an inference BatchNorm into the preceding conv
+    (keeps the flax module norm-free, SuperPoint docstring)."""
+    w = sd[f"{conv_name}.weight"]  # (O, I, H, W)
+    b = sd.get(f"{conv_name}.bias", np.zeros(w.shape[0], w.dtype))
+    gamma = sd[f"{bn_name}.weight"]
+    beta = sd[f"{bn_name}.bias"]
+    mean = sd[f"{bn_name}.running_mean"]
+    var = sd[f"{bn_name}.running_var"]
+    scale = gamma / np.sqrt(var + eps)
+    w_f = w * scale[:, None, None, None]
+    b_f = (b - mean) * scale + beta
+    return {
+        "kernel": np.ascontiguousarray(np.transpose(w_f, (2, 3, 1, 0))),
+        "bias": b_f,
+    }
+
+
+def fold_bn_linear(sd, lin_name, bn_name, eps=1e-5):
+    w = sd[f"{lin_name}.weight"]  # (O, I)
+    b = sd.get(f"{lin_name}.bias", np.zeros(w.shape[0], w.dtype))
+    gamma = sd[f"{bn_name}.weight"]
+    beta = sd[f"{bn_name}.bias"]
+    mean = sd[f"{bn_name}.running_mean"]
+    var = sd[f"{bn_name}.running_var"]
+    scale = gamma / np.sqrt(var + eps)
+    return {
+        "kernel": np.ascontiguousarray((w * scale[:, None]).T),
+        "bias": (b - mean) * scale + beta,
+    }
+
+
+# ---------------------------------------------------------------------------
+# SuperPoint
+# ---------------------------------------------------------------------------
+
+
+def convert_superpoint(sd: dict) -> dict:
+    """MagicLeap official SuperPoint (conv1a..convDb, no BN) -> flax params.
+
+    Matches `models/extractors/superpoint.py` with
+    channels=[64, 64, 128, 128, 256], norm="none".
+    """
+    names = [("conv1a", "conv1b"), ("conv2a", "conv2b"), ("conv3a", "conv3b"), ("conv4a", "conv4b")]
+    params = {}
+    for i, (a, b) in enumerate(names):
+        params[f"b{i}_0"] = {"conv": t_conv(sd, a)}
+        params[f"b{i}_1"] = {"conv": t_conv(sd, b)}
+    params["det0"] = {"conv": t_conv(sd, "convPa")}
+    params["det1"] = t_conv(sd, "convPb")
+    params["desc0"] = {"conv": t_conv(sd, "convDa")}
+    params["desc1"] = t_conv(sd, "convDb")
+    return {"params": params}
+
+
+def convert_superpoint_open(sd: dict) -> dict:
+    """rpautrat open SuperPoint (BN after each conv) -> flax params, BN folded.
+
+    Expects names like `backbone.backbone.{i}.{j}.conv.weight` + `.bn.*` or
+    classic `convX/bnX` pairs; handles both layouts.
+    """
+    def conv_bn(conv, bn):
+        if f"{bn}.running_mean" in sd:
+            return fold_bn_conv(sd, conv, bn)
+        return t_conv(sd, conv)
+
+    if "conv1a.weight" in sd:  # magicleap-style names with bn
+        pairs = [
+            ("conv1a", "bn1a"), ("conv1b", "bn1b"),
+            ("conv2a", "bn2a"), ("conv2b", "bn2b"),
+            ("conv3a", "bn3a"), ("conv3b", "bn3b"),
+            ("conv4a", "bn4a"), ("conv4b", "bn4b"),
+        ]
+        params = {}
+        for i in range(4):
+            params[f"b{i}_0"] = {"conv": conv_bn(*pairs[2 * i])}
+            params[f"b{i}_1"] = {"conv": conv_bn(*pairs[2 * i + 1])}
+        params["det0"] = {"conv": conv_bn("convPa", "bnPa")}
+        params["det1"] = conv_bn("convPb", "bnPb")
+        params["desc0"] = {"conv": conv_bn("convDa", "bnDa")}
+        params["desc1"] = conv_bn("convDb", "bnDb")
+        return {"params": params}
+    raise ValueError(f"unrecognized SuperPoint state dict: {list(sd)[:5]}")
+
+
+# ---------------------------------------------------------------------------
+# LightGlue
+# ---------------------------------------------------------------------------
+
+# the reference's official-weight rename map (`lightglue.py:395-400`)
+_LG_RENAMES = [
+    ("self_attn.prj", "self_attn.Wqkv"),
+    ("attn.proj", "attn.out_proj"),
+    ("self_attn.merge", "self_attn.out_proj"),
+    ("cross_attn.merge", "cross_attn.out_proj"),
+    ("transformers.", "transformers."),
+]
+
+
+def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
+    """Official LightGlue checkpoint -> flax params (scan-stacked layers)."""
+    # normalize historical key names
+    renamed = {}
+    for k, v in sd.items():
+        for old, new in _LG_RENAMES:
+            k = k.replace(old, new)
+        renamed[k] = v
+    sd = renamed
+
+    def stack(fn):
+        per_layer = [fn(i) for i in range(n_layers)]
+        return _stack_trees(per_layer)
+
+    params = {
+        "input_proj": t_linear(sd, "input_proj"),
+        "posenc_freqs": np.ascontiguousarray(sd["posenc.Wr.weight"].T),
+        "layers": stack(lambda i: _lg_layer(sd, i, n_layers)),
+    }
+    return {"params": params}
+
+
+def _lg_layer(sd, i, n_layers):
+    p = f"transformers.{i}"
+    layer = {
+        "self_attn": {
+            "Wqkv": t_linear(sd, f"{p}.self_attn.Wqkv"),
+            "out_proj": t_linear(sd, f"{p}.self_attn.out_proj"),
+            "ffn0": t_linear(sd, f"{p}.self_attn.ffn.0"),
+            "ffn_norm": t_layernorm(sd, f"{p}.self_attn.ffn.1"),
+            "ffn1": t_linear(sd, f"{p}.self_attn.ffn.3"),
+        },
+        "cross_attn": {
+            "to_qk": t_linear(sd, f"{p}.cross_attn.to_qk"),
+            "to_v": t_linear(sd, f"{p}.cross_attn.to_v"),
+            "out_proj": t_linear(sd, f"{p}.cross_attn.out_proj"),
+            "ffn0": t_linear(sd, f"{p}.cross_attn.ffn.0"),
+            "ffn_norm": t_layernorm(sd, f"{p}.cross_attn.ffn.1"),
+            "ffn1": t_linear(sd, f"{p}.cross_attn.ffn.3"),
+        },
+        "log_assignment": {
+            "final_proj": t_linear(sd, f"log_assignment.{i}.final_proj"),
+            "matchability": t_linear(sd, f"log_assignment.{i}.matchability"),
+        },
+    }
+    # token confidence heads exist for layers 0..L-2; pad the last with zeros
+    if f"token_confidence.{i}.token.0.weight" in sd:
+        layer["token_confidence"] = t_linear(sd, f"token_confidence.{i}.token.0")
+    elif f"token_confidence.{i}.token.weight" in sd:
+        layer["token_confidence"] = t_linear(sd, f"token_confidence.{i}.token")
+    else:
+        ref = layer["log_assignment"]["matchability"]
+        layer["token_confidence"] = {
+            "kernel": np.zeros_like(ref["kernel"]),
+            "bias": np.zeros_like(ref["bias"]),
+        }
+    return layer
+
+
+# ---------------------------------------------------------------------------
+# SuperGlue
+# ---------------------------------------------------------------------------
+
+
+def convert_superglue(sd: dict, n_layers: int = 9) -> dict:
+    """MagicLeap official SuperGlue -> flax params (conf.norm='none').
+
+    Official layout: kenc.encoder.{0,3,6,9,12} convs1d with BN at {1,4,7,10},
+    gnn.layers.{i} alternating self/cross, final_proj conv1d, bin_score.
+    Conv1d (O, I, 1) weights are treated as linear layers.
+    """
+    def conv1d_as_linear(name):
+        w = sd[f"{name}.weight"]
+        if w.ndim == 3:
+            w = w[..., 0]
+        out = {"kernel": np.ascontiguousarray(w.T)}
+        if f"{name}.bias" in sd:
+            out["bias"] = sd[f"{name}.bias"]
+        return out
+
+    def conv1d_bn_fold(conv, bn):
+        w = sd[f"{conv}.weight"]
+        if w.ndim == 3:
+            w = w[..., 0]
+        b = sd.get(f"{conv}.bias", np.zeros(w.shape[0], w.dtype))
+        gamma, beta = sd[f"{bn}.weight"], sd[f"{bn}.bias"]
+        mean, var = sd[f"{bn}.running_mean"], sd[f"{bn}.running_var"]
+        scale = gamma / np.sqrt(var + 1e-5)
+        return {
+            "kernel": np.ascontiguousarray((w * scale[:, None]).T),
+            "bias": (b - mean) * scale + beta,
+        }
+
+    kenc = {}
+    enc_ids = [0, 3, 6, 9]
+    for j, eid in enumerate(enc_ids):
+        kenc[f"mlp{j}"] = conv1d_bn_fold(f"kenc.encoder.{eid}", f"kenc.encoder.{eid + 1}")
+    kenc["out"] = conv1d_as_linear("kenc.encoder.12")
+
+    def gnn_layer(i):
+        # official alternates layer types: even=self, odd=cross, 2 per round
+        def prop(idx):
+            p = f"gnn.layers.{idx}"
+            return {
+                "q": conv1d_as_linear(f"{p}.attn.proj.0"),
+                "k": conv1d_as_linear(f"{p}.attn.proj.1"),
+                "v": conv1d_as_linear(f"{p}.attn.proj.2"),
+                "merge": conv1d_as_linear(f"{p}.attn.merge"),
+                "mlp0": conv1d_bn_fold(f"{p}.mlp.0", f"{p}.mlp.1"),
+                "mlp1": conv1d_as_linear(f"{p}.mlp.3"),
+            }
+
+        return {"self": prop(2 * i), "cross": prop(2 * i + 1)}
+
+    params = {
+        "input_proj": conv1d_as_linear("input_proj"),
+        "kenc": kenc,
+        "gnn": _stack_trees([gnn_layer(i) for i in range(n_layers)]),
+        "final_proj": conv1d_as_linear("final_proj"),
+        "bin_score": np.asarray(sd["bin_score"]).reshape(()),
+    }
+    return {"params": params}
+
+
+def _stack_trees(trees: list) -> dict:
+    """Stack a list of identical pytrees along a new leading axis."""
+    out = {}
+    for k in trees[0]:
+        vals = [t[k] for t in trees]
+        if isinstance(vals[0], dict):
+            out[k] = _stack_trees(vals)
+        else:
+            out[k] = np.stack(vals)
+    return out

@@ -1,0 +1,82 @@
+"""End-to-end eval pipeline test on a synthetic HPatches-format fixture
+(the reference pattern: fake on-disk data, real pipeline — SURVEY.md §4).
+"""
+
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def fake_hpatches(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    seq_dir = root / "hpatches-sequences-release"
+    rng = np.random.RandomState(0)
+    from gluefactory_tpu.datasets.homographies import generate_synthetic_image
+
+    for s in ("v_fake1", "i_fake2"):
+        d = seq_dir / s
+        d.mkdir(parents=True)
+        img = (generate_synthetic_image(rng, 320, 240) * 255).astype(np.uint8)
+        cv2.imwrite(str(d / "1.ppm"), img)
+        for i in range(2, 7):
+            # mild affine-ish homography
+            H = np.array(
+                [
+                    [1.0 + 0.02 * i, 0.01 * i, 3.0 * i],
+                    [-0.01 * i, 1.0 - 0.01 * i, -2.0 * i],
+                    [1e-5 * i, -1e-5 * i, 1.0],
+                ],
+                np.float64,
+            )
+            warped = cv2.warpPerspective(img, H, (320, 240))
+            cv2.imwrite(str(d / f"{i}.ppm"), warped)
+            np.savetxt(str(d / f"H_1_{i}"), H)
+    return root
+
+
+def test_hpatches_eval_pipeline(fake_hpatches, tmp_path, monkeypatch):
+    import gluefactory_tpu.settings as settings
+
+    monkeypatch.setattr(settings, "DATA_PATH", fake_hpatches)
+    # the dataset module imported DATA_PATH by value; patch there too
+    import gluefactory_tpu.datasets.hpatches as hp_data
+
+    monkeypatch.setattr(hp_data, "DATA_PATH", fake_hpatches)
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.eval.hpatches import HPatchesPipeline
+
+    conf = Config.merge(
+        Config(HPatchesPipeline.default_conf),
+        {
+            "model": {
+                "name": "two_view_pipeline",
+                "extractor": {
+                    "name": "sift",
+                    "max_num_keypoints": 256,
+                },
+                "matcher": {"name": "nearest_neighbor", "ratio_thresh": 0.95},
+            },
+            "data": {"preprocessing": {"resize": 240, "square_pad": True}},
+            "eval": {"ransac_th": 2.0},
+        },
+    )
+    pipeline = HPatchesPipeline(conf)
+    out_dir = tmp_path / "hp_eval"
+    s, f, r = pipeline.run(out_dir)
+    assert "mprec@3px" in s
+    assert "H_error_ransac@1px" in s
+    assert (out_dir / "predictions.h5").exists()
+    assert (out_dir / "summaries.json").exists()
+    # SIFT + NN on synthetic warps of the same image: decent precision
+    assert s["mnum_matches"] > 10
+    assert s["mprec@3px"] > 0.5, s
+    # RANSAC should solve most of these easy pairs
+    assert s["H_error_ransac@5px"] > 0.3, s
+
+    # second run without overwrite reuses the cache
+    s2, _, _ = pipeline.run(out_dir)
+    assert s2["mprec@3px"] == s["mprec@3px"]
