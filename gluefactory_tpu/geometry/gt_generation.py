@@ -381,3 +381,68 @@ def gt_matches_from_sparse_map(
         "gt_kp0_1": kp0_1,
         "gt_kp1_0": kp1_0,
     }
+
+
+def gt_matches_from_roma_warp(
+    kp0: jnp.ndarray,
+    kp1: jnp.ndarray,
+    warp_0to1: jnp.ndarray,
+    certainty: jnp.ndarray,
+    valid0: jnp.ndarray | None = None,
+    valid1: jnp.ndarray | None = None,
+    pos_th: float = 3.0,
+    neg_th: float = 6.0,
+    certainty_th: float = 0.5,
+    warp_1to0: jnp.ndarray | None = None,
+    cycle_th: float | None = 4.0,
+):
+    """Pseudo-GT from a cached dense matcher warp
+    (reference `gt_matches_from_roma:61` / `roma_gt_matcher.py:302`).
+
+    warp_0to1: (..., H, W, 2) maps view0 pixels to view1 coords;
+    certainty: (..., H, W) in [0, 1]. Keypoints in low-certainty regions are
+    IGNORE; with warp_1to0 given, forward-backward cycle error above
+    `cycle_th` also demotes to IGNORE.
+    """
+    if valid0 is None:
+        valid0 = jnp.ones(kp0.shape[:-1], bool)
+    if valid1 is None:
+        valid1 = jnp.ones(kp1.shape[:-1], bool)
+
+    def sample_field(field, pts):
+        # bilinear sample of a (..., H, W, C) field at (..., N, 2) pixels
+        C = field.shape[-1]
+        outs = [
+            sample_depth_bilinear(
+                jnp.where(jnp.abs(field[..., c]) > 0, field[..., c], 1e-12), pts
+            )[0]
+            for c in range(C)
+        ]
+        return jnp.stack(outs, axis=-1)
+
+    kp0_1 = sample_field(warp_0to1, kp0)  # (..., N, 2)
+    cert0 = sample_depth_bilinear(jnp.maximum(certainty, 1e-12), kp0)[0]
+    confident0 = (cert0 > certainty_th) & valid0
+
+    if warp_1to0 is not None and cycle_th is not None:
+        kp0_back = sample_field(warp_1to0, kp0_1)
+        cyc = jnp.linalg.norm(kp0_back - kp0, axis=-1)
+        confident0 = confident0 & (cyc < cycle_th)
+
+    dist = jnp.linalg.norm(
+        kp0_1[..., :, None, :] - kp1[..., None, :, :], axis=-1
+    )
+    mask = confident0[..., :, None] & valid1[..., None, :]
+    dist = _masked_dist(dist, mask)
+    assignment, m0, m1 = _assignment_from_dist(
+        dist, valid0, valid1, pos_th, neg_th,
+        can_neg0=confident0,
+        can_neg1=jnp.ones_like(valid1),
+    )
+    return {
+        "gt_assignment": assignment,
+        "gt_matches0": m0,
+        "gt_matches1": m1,
+        "gt_kp0_1": kp0_1,
+        "gt_certainty0": cert0,
+    }

@@ -13,16 +13,30 @@ import jax
 import jax.numpy as jnp
 
 
+def _use_pallas() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def masked_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: jnp.ndarray | None = None,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Multi-head attention. q/k/v: (B, H, N, D); mask: (B, N_kv) key validity.
 
     Queries attend only to valid keys; fully-masked rows return 0.
+    impl: "auto" (pallas flash kernel on TPU, fused XLA elsewhere) |
+    "xla" | "pallas".
     """
+    if impl == "pallas" or (impl == "auto" and _use_pallas()):
+        from .pallas_attention import flash_attention
+
+        return flash_attention(q, k, v, mask)
     scale = q.shape[-1] ** -0.5
     sim = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
     if mask is not None:
@@ -49,6 +63,13 @@ def bidirectional_cross_attention(
     Returns (message to set 0, message to set 1): one similarity matrix,
     softmaxed along each axis.
     """
+    if _use_pallas():
+        # two fused flash passes (the row/col softmaxes of the shared sim)
+        from .pallas_attention import flash_attention
+
+        m0 = flash_attention(qk0, qk1, v1, mask1)
+        m1 = flash_attention(qk1, qk0, v0, mask0)
+        return m0, m1
     scale = qk0.shape[-1] ** -0.25
     sim = jnp.einsum("bhnd,bhmd->bhnm", qk0 * scale, qk1 * scale)
     if mask1 is not None:

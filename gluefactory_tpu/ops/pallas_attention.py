@@ -1,0 +1,134 @@
+"""Pallas flash-attention kernel for the matcher transformers.
+
+The reference leans on torch SDPA/FlashAttention (`matchers/lightglue.py:98-129`);
+this is the TPU analog: a fused attention kernel that never materializes the
+(N, M) similarity matrix in HBM. Keypoint counts are 512-4096, so one
+(block_q x head_dim) query tile per grid step with a `lax.fori_loop` over KV
+tiles and the standard online-softmax recurrence keeps everything in VMEM;
+QK^T and PV ride the MXU.
+
+Falls back to the XLA einsum path on CPU (tests run both and compare).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_kv: int, sm_scale: float):
+    """One (block_q, head_dim) query tile against all KV tiles.
+
+    q_ref: (block_q, D); k_ref/v_ref: (M, D); mask_ref: (1, M) key validity.
+    """
+    q = q_ref[:] * sm_scale
+    M = k_ref.shape[0]
+    D = q.shape[-1]
+    block_q = q.shape[0]
+    num_kv = M // block_kv
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[pl.ds(i * block_kv, block_kv), :]
+        v = v_ref[pl.ds(i * block_kv, block_kv), :]
+        mask = mask_ref[0, pl.ds(i * block_kv, block_kv)]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (bq, bkv)
+        s = jnp.where(mask[None, :], s, NEG_INF)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        # avoid exp(-inf - (-inf)) = 1 when everything so far is masked
+        alpha = jnp.where(m_prev > NEG_INF / 2, jnp.exp(m_prev - m_cur), 0.0)
+        p = jnp.where(
+            mask[None, :], jnp.exp(s - m_cur[:, None]), jnp.zeros_like(s)
+        )
+        l_cur = l_prev * alpha + jnp.sum(p, axis=-1)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return acc, m_cur, l_cur
+
+    acc0 = jnp.zeros((block_q, D), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    # fully-masked rows: l == 0 -> output 0
+    safe_l = jnp.where(l > 0, l, 1.0)
+    o_ref[:] = (acc / safe_l[:, None]).astype(o_ref.dtype)
+
+
+def _pad_to(x, n, axis, value=0.0):
+    pad = n - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths, constant_values=value)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv"))
+def flash_attention(q, k, v, mask=None, block_q: int = 256, block_kv: int = 256):
+    """Fused masked attention. q: (B, H, N, D); k/v: (B, H, M, D);
+    mask: (B, M) key validity. Returns (B, H, N, D).
+    """
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    if mask is None:
+        mask = jnp.ones((B, M), bool)
+    scale = D ** -0.5
+
+    Np = ((N + block_q - 1) // block_q) * block_q
+    Mp = ((M + block_kv - 1) // block_kv) * block_kv
+    q_p = _pad_to(q, Np, 2)
+    k_p = _pad_to(k, Mp, 2)
+    v_p = _pad_to(v, Mp, 2)
+    mask_p = _pad_to(mask, Mp, 1, value=False)
+
+    grid = (B, H, Np // block_q)
+    kernel = functools.partial(
+        _kernel_wrapper_squeeze, block_kv=block_kv, sm_scale=scale
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Mp, D), lambda b, h, i: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, Mp, D), lambda b, h, i: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, Mp), lambda b, h, i: (b, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )(
+        q_p.reshape(B, H, Np, D),
+        k_p,
+        v_p,
+        mask_p,
+    )
+    return out[:, :, :N, :]
+
+
+def _kernel_wrapper_squeeze(q_ref, k_ref, v_ref, mask_ref, o_ref, **kw):
+    # BlockSpecs with leading (1, 1, ...) give refs shaped (1, 1, bq, D);
+    # squeeze views for the core kernel
+    _flash_kernel(
+        q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], mask_ref, o_ref.at[0, 0], **kw
+    )

@@ -281,6 +281,31 @@ def training(conf: Config, output_dir: Path, args=None):
     n_iter = int(np.asarray(state.step))
     is_leader = jax.process_index() == 0
     losses_acc = defaultdict(AverageMetric)
+
+    def run_epoch_benchmarks(epoch):
+        """Embedded benchmarks (reference `train.py:1028-1047`)."""
+        benchmarks = conf.get("benchmarks", {}) or {}
+        if not benchmarks or not is_leader:
+            return
+        from ..eval import run_benchmark
+
+        for bname, bconf in benchmarks.items():
+            try:
+                bench_dir = output_dir / "benchmarks" / bname / f"epoch_{epoch}"
+                s, _, _ = run_benchmark(
+                    bname,
+                    Config.merge(Config({"model": conf.model.to_dict()}), bconf),
+                    bench_dir,
+                    model=(model, state.params),
+                )
+                logger.info(f"[benchmark {bname}] {s}")
+                if writer:
+                    for k, v in s.items():
+                        if isinstance(v, (int, float)) and np.isfinite(v):
+                            writer.add_scalar(f"benchmark/{bname}/{k}", v, n_iter)
+            except Exception as e:
+                logger.warning(f"benchmark {bname} failed: {e}")
+
     try:
         for epoch in range(start_epoch, train_conf.epochs):
             if hasattr(train_loader, "set_epoch"):
@@ -356,6 +381,8 @@ def training(conf: Config, output_dir: Path, args=None):
                     and it + 1 >= train_conf.get("overfit_iters", 100)
                 ):
                     break
+            if conf.get("benchmarks"):
+                run_epoch_benchmarks(epoch)
     except KeyboardInterrupt:
         logger.info("interrupted; saving checkpoint_interrupted")
         if is_leader:

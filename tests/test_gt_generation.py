@@ -104,3 +104,26 @@ def test_gt_pose_depth_epipolar_negatives(rng):
     )
     m1 = np.asarray(out2["gt_matches1"][0])
     assert (m1 == UNMATCHED_FEATURE).sum() > 0
+
+
+def test_gt_roma_warp(rng):
+    from gluefactory_tpu.geometry.gt_generation import gt_matches_from_roma_warp
+
+    H_img, W_img = 60, 80
+    # warp = identity + (5, 3) shift
+    ys, xs = np.meshgrid(np.arange(H_img), np.arange(W_img), indexing="ij")
+    warp = np.stack([xs + 5.0, ys + 3.0], -1).astype(np.float32)[None]
+    cert = np.full((1, H_img, W_img), 0.9, np.float32)
+    cert[:, :, :20] = 0.1  # left stripe uncertain
+    kp0 = jnp.asarray(rng.rand(1, 20, 2) * [60, 50] + [5, 5], jnp.float32)
+    kp1 = kp0 + jnp.asarray([5.0, 3.0])
+    out = gt_matches_from_roma_warp(
+        kp0, kp1, jnp.asarray(warp), jnp.asarray(cert), pos_th=2.0
+    )
+    m0 = np.asarray(out["gt_matches0"][0])
+    x0 = np.asarray(kp0[0, :, 0])
+    confident = x0 >= 23  # clear of the bilinear boundary band
+    uncertain = x0 <= 18
+    # confident keypoints match their shifted selves; uncertain -> ignore
+    assert (m0[confident] == np.arange(20)[confident]).all(), m0
+    assert (m0[uncertain] == IGNORE_FEATURE).all(), m0

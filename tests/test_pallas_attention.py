@@ -1,0 +1,47 @@
+"""Flash-attention kernel vs dense reference (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import gluefactory_tpu.ops.pallas_attention as pa
+from gluefactory_tpu.ops.attention import masked_attention
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pa.pl, "pallas_call", patched)
+
+
+@pytest.mark.parametrize("N,M", [(256, 256), (300, 200), (64, 512)])
+def test_flash_matches_dense(N, M):
+    rng = np.random.RandomState(0)
+    B, H, D = 2, 2, 64
+    q = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, M, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, M, D), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, M) > 0.2)
+    out = pa.flash_attention(q, k, v, mask)
+    ref = masked_attention(q, k, v, mask, impl="xla")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_fully_masked_rows_zero():
+    rng = np.random.RandomState(0)
+    B, H, N, D = 1, 1, 64, 32
+    q = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    mask = jnp.zeros((B, N), bool)
+    out = pa.flash_attention(q, k, v, mask)
+    assert float(jnp.max(jnp.abs(out))) == 0.0
