@@ -106,6 +106,27 @@ class _PosedPairs:
                     padded[: depth.shape[0], : depth.shape[1]] = depth
                     depth = padded
                 out["depth"] = depth * conf.depth_scale
+        # endoscope specular masks (fork `posed_images.py:111-216`): load if
+        # cached on disk, else compute from image brightness
+        if conf.specular_masks:
+            mask_path = self.root / str(conf.specular_masks) / f"{Path(name).stem}.npz"
+            if mask_path.exists():
+                m = np.load(mask_path)["mask"].astype(bool)
+                m = cv2.resize(
+                    m.astype(np.uint8),
+                    (int(out["image_size"][0]), int(out["image_size"][1])),
+                    interpolation=cv2.INTER_NEAREST,
+                ).astype(bool)
+            else:
+                from .endomapper_utils import compute_specular_mask
+
+                m = compute_specular_mask(out["image"])
+            if conf.preprocessing["square_pad"]:
+                s = max(out["image"].shape[:2])
+                padded = np.zeros((s, s), bool)
+                padded[: m.shape[0], : m.shape[1]] = m
+                m = padded
+            out["specular_mask"] = m
         out["name"] = name
         return out
 
@@ -136,6 +157,7 @@ class PosedImageDataset(BaseDataset):
         "depth_scale": 1.0,
         "grayscale": False,
         "camera_model": "pinhole",
+        "specular_masks": None,  # dir of {stem}.npz masks, or truthy to compute
         "preprocessing": {"resize": 1024, "side": "long", "square_pad": True},
     }
 

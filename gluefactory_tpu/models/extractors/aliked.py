@@ -145,7 +145,8 @@ class ALIKED(BaseModel):
 
         nms = simple_nms(scores, self.conf.nms_radius)
         kpts, kp_scores, valid = top_k_keypoints(
-            nms, self.conf.max_num_keypoints, self.conf.detection_threshold
+            nms, self.conf.max_num_keypoints, self.conf.detection_threshold,
+            nms_radius=self.conf.nms_radius,
         )
         if self.conf.refinement_radius > 0:
             kpts = soft_argmax_refinement(kpts, scores, self.conf.refinement_radius)

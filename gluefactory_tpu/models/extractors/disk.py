@@ -79,7 +79,8 @@ class DISK(BaseModel):
         radius = self.conf.nms_window_size // 2
         nms = simple_nms(heat, radius)
         kpts, kp_scores, valid = top_k_keypoints(
-            nms, self.conf.max_num_keypoints, self.conf.detection_threshold
+            nms, self.conf.max_num_keypoints, self.conf.detection_threshold,
+            nms_radius=radius,
         )
         from .aliked import bilinear_gather
 

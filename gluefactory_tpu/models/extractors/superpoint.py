@@ -38,12 +38,17 @@ class VGGBlock(nn.Module):
     out_ch: int
     norm: str = "none"
     kernel: int = 3
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(self.out_ch, (self.kernel, self.kernel), padding="SAME", name="conv")(x)
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = nn.Conv(
+            self.out_ch, (self.kernel, self.kernel), padding="SAME",
+            dtype=dt, name="conv",
+        )(x)
         if self.norm == "group":
-            x = nn.GroupNorm(num_groups=min(32, self.out_ch), name="norm")(x)
+            x = nn.GroupNorm(num_groups=min(32, self.out_ch), dtype=dt, name="norm")(x)
         x = nn.relu(x)
         return x
 
@@ -59,6 +64,7 @@ class SuperPoint(BaseModel):
         "norm": "none",  # "none" (folded-BN checkpoints) | "group" (scratch)
         "refinement_radius": 0,  # soft-argmax sub-pixel refinement
         "dense_outputs": False,
+        "dtype": "float32",  # "bfloat16": backbone convs on the MXU in bf16
         "weights": None,  # path to a converted checkpoint
     }
     required_data_keys = ("image",)
@@ -66,18 +72,22 @@ class SuperPoint(BaseModel):
     def setup(self):
         c = self.conf
         chs = list(c.channels)
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         backbone = []
         # two convs per scale, maxpool between scales (VGG-style)
         for i, ch in enumerate(chs[:-1]):
             backbone.append(
-                (VGGBlock(ch, c.norm, name=f"b{i}_0"), VGGBlock(ch, c.norm, name=f"b{i}_1"))
+                (
+                    VGGBlock(ch, c.norm, c.get("kernel", 3), c.dtype, name=f"b{i}_0"),
+                    VGGBlock(ch, c.norm, c.get("kernel", 3), c.dtype, name=f"b{i}_1"),
+                )
             )
         self.backbone = backbone
         mid = chs[-1]
-        self.det_head0 = VGGBlock(mid, c.norm, name="det0")
-        self.det_head1 = nn.Conv(65, (1, 1), name="det1")
-        self.desc_head0 = VGGBlock(mid, c.norm, name="desc0")
-        self.desc_head1 = nn.Conv(c.descriptor_dim, (1, 1), name="desc1")
+        self.det_head0 = VGGBlock(mid, c.norm, 3, c.dtype, name="det0")
+        self.det_head1 = nn.Conv(65, (1, 1), dtype=dt, name="det1")
+        self.desc_head0 = VGGBlock(mid, c.norm, 3, c.dtype, name="desc0")
+        self.desc_head1 = nn.Conv(c.descriptor_dim, (1, 1), dtype=dt, name="desc1")
 
     def _forward(self, data: dict, train: bool = False) -> dict:
         image = data["image"]  # (B, H, W, C)
@@ -97,17 +107,19 @@ class SuperPoint(BaseModel):
 
         # detector head: 65 = 8x8 cells + dustbin; pixel-shuffle to full res
         det = self.det_head1(self.det_head0(x))  # (B, H/8, W/8, 65)
-        scores = nn.softmax(det, axis=-1)[..., :-1]  # drop dustbin
+        # scores/softmax in f32 regardless of compute dtype
+        scores = nn.softmax(det.astype(jnp.float32), axis=-1)[..., :-1]
         Hc, Wc = scores.shape[1:3]
         scores = scores.reshape(B, Hc, Wc, 8, 8)
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
 
-        desc = self.desc_head1(self.desc_head0(x))  # (B, H/8, W/8, D)
+        desc = self.desc_head1(self.desc_head0(x)).astype(jnp.float32)
 
         nms = simple_nms(scores, self.conf.nms_radius)
         nms = remove_borders(nms, self.conf.remove_borders)
         kpts, kp_scores, valid = top_k_keypoints(
-            nms, self.conf.max_num_keypoints, self.conf.detection_threshold
+            nms, self.conf.max_num_keypoints, self.conf.detection_threshold,
+            nms_radius=self.conf.nms_radius,
         )
         if self.conf.refinement_radius > 0:
             kpts = soft_argmax_refinement(kpts, scores, self.conf.refinement_radius)
@@ -119,6 +131,14 @@ class SuperPoint(BaseModel):
                 kpts >= 0, axis=-1
             )
             valid = valid & inside
+            kp_scores = jnp.where(valid, kp_scores, 0.0)
+        # endoscope specular-highlight filtering (fork `superpoint_open.py:177-187`)
+        if "specular_mask" in data:
+            from .utils import filter_keypoints_by_specular_mask
+
+            valid = filter_keypoints_by_specular_mask(
+                kpts, valid, data["specular_mask"]
+            )
             kp_scores = jnp.where(valid, kp_scores, 0.0)
 
         # descriptors are (B, Hc, Wc, D) -> channel-first for sampling

@@ -56,27 +56,31 @@ class SelfBlock(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, encoding, mask):
         B, N, D = x.shape
         H = self.num_heads
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = x.astype(dt)
         # qkv layout matches the official checkpoints: innermost (Dh, 3)
-        qkv = nn.Dense(3 * D, name="Wqkv")(x).reshape(B, N, H, D // H, 3)
+        qkv = nn.Dense(3 * D, dtype=dt, name="Wqkv")(x).reshape(B, N, H, D // H, 3)
         q, k, v = (
             jnp.moveaxis(qkv[..., i], 2, 1) for i in range(3)
         )  # (B, H, N, Dh)
-        q = apply_cached_rotary_emb(encoding, q)
-        k = apply_cached_rotary_emb(encoding, k)
+        # rotary in f32 (positions are precision-sensitive), attention in dt
+        q = apply_cached_rotary_emb(encoding, q.astype(jnp.float32)).astype(dt)
+        k = apply_cached_rotary_emb(encoding, k.astype(jnp.float32)).astype(dt)
         msg = masked_attention(q, k, v, mask)  # (B, H, N, Dh)
-        msg = jnp.moveaxis(msg, 1, 2).reshape(B, N, D)
-        msg = nn.Dense(D, name="out_proj")(msg)
+        msg = jnp.moveaxis(msg, 1, 2).reshape(B, N, D).astype(dt)
+        msg = nn.Dense(D, dtype=dt, name="out_proj")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * D, name="ffn0")(y)
-        y = nn.LayerNorm(name="ffn_norm")(y)
+        y = nn.Dense(2 * D, dtype=dt, name="ffn0")(y)
+        y = nn.LayerNorm(dtype=dt, name="ffn_norm")(y)
         y = nn.gelu(y)
-        y = nn.Dense(D, name="ffn1")(y)
-        return x + y
+        y = nn.Dense(D, dtype=dt, name="ffn1")(y)
+        return (x + y).astype(jnp.float32)
 
 
 class CrossBlock(nn.Module):
@@ -85,49 +89,72 @@ class CrossBlock(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x0, x1, mask0, mask1):
         B, N, D = x0.shape
         H = self.num_heads
-        to_qk = nn.Dense(D, name="to_qk")
-        to_v = nn.Dense(D, name="to_v")
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x0 = x0.astype(dt)
+        x1 = x1.astype(dt)
+        to_qk = nn.Dense(D, dtype=dt, name="to_qk")
+        to_v = nn.Dense(D, dtype=dt, name="to_v")
         qk0 = to_qk(x0).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
         qk1 = to_qk(x1).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
         v0 = to_v(x0).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
         v1 = to_v(x1).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
         m0, m1 = bidirectional_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
-        out_proj = nn.Dense(D, name="out_proj")
-        m0 = out_proj(m0.transpose(0, 2, 1, 3).reshape(B, -1, D))
-        m1 = out_proj(m1.transpose(0, 2, 1, 3).reshape(B, -1, D))
-        ffn0 = nn.Dense(2 * D, name="ffn0")
-        ffn_norm = nn.LayerNorm(name="ffn_norm")
-        ffn1 = nn.Dense(D, name="ffn1")
+        out_proj = nn.Dense(D, dtype=dt, name="out_proj")
+        m0 = out_proj(m0.transpose(0, 2, 1, 3).reshape(B, -1, D).astype(dt))
+        m1 = out_proj(m1.transpose(0, 2, 1, 3).reshape(B, -1, D).astype(dt))
+        ffn0 = nn.Dense(2 * D, dtype=dt, name="ffn0")
+        ffn_norm = nn.LayerNorm(dtype=dt, name="ffn_norm")
+        ffn1 = nn.Dense(D, dtype=dt, name="ffn1")
 
         def ffn(x, m):
             y = jnp.concatenate([x, m], axis=-1)
             return x + ffn1(nn.gelu(ffn_norm(ffn0(y))))
 
-        return ffn(x0, m0), ffn(x1, m1)
+        return ffn(x0, m0).astype(jnp.float32), ffn(x1, m1).astype(jnp.float32)
 
 
 class MatchAssignment(nn.Module):
-    """Similarity + matchability head (reference `lightglue.py:272-293`)."""
+    """Similarity + matchability head (reference `lightglue.py:272-293`).
+
+    `compute_scores` (traced bool) gates the HBM-heavy (B, N, M) similarity +
+    double-softmax under `lax.cond`: during inference only the last layer
+    needs it (deep supervision needs all layers in training).
+    """
 
     dim: int
 
     @nn.compact
-    def __call__(self, x0, x1, mask0, mask1):
+    def __call__(self, x0, x1, mask0, mask1, compute_scores=None):
         d = self.dim
         proj = nn.Dense(d, name="final_proj")
         mdesc0 = proj(x0) / d**0.25
         mdesc1 = proj(x1) / d**0.25
-        sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1)
         matchability = nn.Dense(1, name="matchability")
         z0 = matchability(x0)[..., 0]
         z1 = matchability(x1)[..., 0]
-        scores = sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
-        return scores, sim, z0, z1
+
+        def heavy(_):
+            sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1)
+            return sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
+
+        if compute_scores is None:
+            scores = heavy(None)
+        else:
+            B, N = x0.shape[:2]
+            M = x1.shape[1]
+            scores = jax.lax.cond(
+                compute_scores,
+                heavy,
+                lambda _: jnp.full((B, N, M), -1e9, mdesc0.dtype),
+                None,
+            )
+        return scores, z0, z1
 
 
 class LGLayer(nn.Module):
@@ -135,23 +162,38 @@ class LGLayer(nn.Module):
 
     dim: int
     num_heads: int
+    width_confidence: float = -1.0
+    dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, carry, _):
+    def __call__(self, carry, is_last):
         x0, x1, enc0, enc1, mask0, mask1, train_flag = carry
-        self_block = SelfBlock(self.dim, self.num_heads, name="self_attn")
-        cross_block = CrossBlock(self.dim, self.num_heads, name="cross_attn")
+        self_block = SelfBlock(self.dim, self.num_heads, self.dtype, name="self_attn")
+        cross_block = CrossBlock(self.dim, self.num_heads, self.dtype, name="cross_attn")
         x0 = self_block(x0, enc0, mask0)
         x1 = self_block(x1, enc1, mask1)
         x0, x1 = cross_block(x0, x1, mask0, mask1)
-        # per-layer heads (used for deep supervision and confidences)
-        scores, _, z0, z1 = MatchAssignment(self.dim, name="log_assignment")(
-            x0, x1, mask0, mask1
+        # per-layer heads; the heavy assignment only for training (deep
+        # supervision) or the last layer (inference)
+        scores, z0, z1 = MatchAssignment(self.dim, name="log_assignment")(
+            x0, x1, mask0, mask1, compute_scores=train_flag | is_last
         )
         # one confidence head shared by both sets (reference `lightglue.py:69`)
         conf_head = nn.Dense(1, name="token_confidence")
         conf0 = jax.nn.sigmoid(conf_head(x0))[..., 0]
         conf1 = jax.nn.sigmoid(conf_head(x1))[..., 0]
+        if self.width_confidence > 0:
+            # masked width pruning (reference `lightglue.py:506-521,560`):
+            # confidently-unmatchable tokens stop participating. Static
+            # shapes: pruning = masking, not index_select. Branchless on the
+            # (traced) train flag: no pruning during training.
+            def prune(conf, z, mask):
+                matchable = jax.nn.sigmoid(z) > 0.01
+                keep = (conf <= self.width_confidence) | matchable
+                return mask & (keep | train_flag)
+
+            mask0 = prune(conf0, z0, mask0)
+            mask1 = prune(conf1, z1, mask1)
         out = {"scores": scores, "z0": z0, "z1": z1, "conf0": conf0, "conf1": conf1}
         return (x0, x1, enc0, enc1, mask0, mask1, train_flag), out
 
@@ -165,6 +207,7 @@ class LightGlue(BaseModel):
         "filter_threshold": 0.1,
         "depth_confidence": -1,  # adaptive depth (masked; -1 = off)
         "width_confidence": -1,  # adaptive width via masking (-1 = off)
+        "dtype": "float32",  # "bfloat16": transformer compute on the MXU
         "loss": {
             "gamma": 1.0,
             "nll_balancing": 0.5,
@@ -189,7 +232,7 @@ class LightGlue(BaseModel):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
-        )(D, c.num_heads, name="layers")
+        )(D, c.num_heads, float(c.width_confidence), c.dtype, name="layers")
 
     def _forward(self, data: dict, train: bool = False) -> dict:
         c = self.conf
@@ -216,8 +259,10 @@ class LightGlue(BaseModel):
         enc0 = rotary_emb_2d(p0, self.posenc_freqs)
         enc1 = rotary_emb_2d(p1, self.posenc_freqs)
 
-        carry = (x0, x1, enc0, enc1, mask0, mask1, train)
-        carry, per_layer = self.layers(carry, None)
+        L = c.n_layers
+        is_last = jnp.arange(L) == (L - 1)
+        carry = (x0, x1, enc0, enc1, mask0, mask1, jnp.asarray(train))
+        carry, per_layer = self.layers(carry, is_last)
         x0, x1 = carry[0], carry[1]
 
         # final-layer assignment comes from the scanned per-layer heads

@@ -76,4 +76,24 @@ class NearestNeighborMatcher(BaseModel):
         }
 
     def loss(self, pred, data):
-        raise NotImplementedError
+        """Optional descriptor-learning N-pair loss over GT pairs
+        (reference `nearest_neighbor_matcher.py:60-104`): InfoNCE on the
+        similarity matrix with GT positives, masked for padding/ignore."""
+        import jax
+
+        if "gt_matches0" not in data:
+            raise NotImplementedError
+        sim = pred["similarity"]  # (B, N, M), -INF at invalid pairs
+        gt0 = data["gt_matches0"]
+        pos = gt0 >= 0
+        temperature = self.conf.get("loss_temperature", 0.1)
+        logits = sim / temperature
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(
+            logp, jnp.maximum(gt0, 0)[..., None], axis=-1
+        )[..., 0]
+        num_pos = jnp.maximum(jnp.sum(pos, -1), 1)
+        nll = -jnp.sum(jnp.where(pos, picked, 0.0), -1) / num_pos
+        from ..utils.metrics import matcher_metrics
+
+        return {"total": nll, "npair_nll": nll}, matcher_metrics(pred, data)

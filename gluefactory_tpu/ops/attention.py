@@ -20,6 +20,11 @@ def _use_pallas() -> bool:
         return False
 
 
+def _fits_fused(q, k) -> bool:
+    # single-shot fused kernel: the (N, M) tile must fit VMEM (~16 MB)
+    return q.shape[-2] * k.shape[-2] <= 2048 * 2048
+
+
 def masked_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -34,8 +39,10 @@ def masked_attention(
     "xla" | "pallas".
     """
     if impl == "pallas" or (impl == "auto" and _use_pallas()):
-        from .pallas_attention import flash_attention
+        from .pallas_attention import flash_attention, fused_attention
 
+        if _fits_fused(q, k):
+            return fused_attention(q, k, v, mask)
         return flash_attention(q, k, v, mask)
     scale = q.shape[-1] ** -0.5
     sim = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
@@ -64,11 +71,12 @@ def bidirectional_cross_attention(
     softmaxed along each axis.
     """
     if _use_pallas():
-        # two fused flash passes (the row/col softmaxes of the shared sim)
-        from .pallas_attention import flash_attention
+        # two fused passes (the row/col softmaxes of the shared sim)
+        from .pallas_attention import flash_attention, fused_attention
 
-        m0 = flash_attention(qk0, qk1, v1, mask1)
-        m1 = flash_attention(qk1, qk0, v0, mask0)
+        attn = fused_attention if _fits_fused(qk0, qk1) else flash_attention
+        m0 = attn(qk0, qk1, v1, mask1)
+        m1 = attn(qk1, qk0, v0, mask0)
         return m0, m1
     scale = qk0.shape[-1] ** -0.25
     sim = jnp.einsum("bhnd,bhmd->bhnm", qk0 * scale, qk1 * scale)

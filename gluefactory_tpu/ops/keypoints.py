@@ -51,7 +51,9 @@ def remove_borders(scores: jnp.ndarray, border: int) -> jnp.ndarray:
     return jnp.where(mask, scores, jnp.zeros_like(scores))
 
 
-def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0):
+def top_k_keypoints(
+    scores: jnp.ndarray, k: int, threshold: float = 0.0, nms_radius: int = 0
+):
     """Select the top-k scoring pixels as keypoints, fixed shape.
 
     scores: (..., H, W) NMS'd score map.
@@ -60,12 +62,40 @@ def top_k_keypoints(scores: jnp.ndarray, k: int, threshold: float = 0.0):
     positive-score pixels) are invalid with coords (0, 0) and score 0 —
     matching the reference's force_num_keypoints padding semantics
     (`superpoint_open.py:194-207`).
+
+    Perf: `lax.top_k` over the full H*W map is the hot spot (~7 ms/batch on
+    v5e at 640x480). When `nms_radius >= 2`, NMS guarantees surviving maxima
+    are >= nms_radius+1 px apart, so at most ONE survivor falls in any b x b
+    block with (b-1)*sqrt(2) <= nms_radius: reduce each block to its max
+    (cheap VPU reshape-max), run top-k on the b^2-times-smaller map, and
+    reconstruct exact coordinates via the block argmax. Exact, not a
+    heuristic.
     """
     H, W = scores.shape[-2:]
-    flat = scores.reshape(scores.shape[:-2] + (H * W,))
-    vals, idx = jax.lax.top_k(flat, k)
-    ys = (idx // W).astype(jnp.float32)
-    xs = (idx % W).astype(jnp.float32)
+    b = 1
+    if nms_radius >= 2:
+        for cand in (4, 3, 2):
+            if (cand - 1) * 1.41422 <= nms_radius and H % cand == 0 and W % cand == 0:
+                b = cand
+                break
+    if b > 1:
+        Hb, Wb = H // b, W // b
+        blocks = scores.reshape(scores.shape[:-2] + (Hb, b, Wb, b))
+        blocks = jnp.moveaxis(blocks, -3, -2)  # (..., Hb, Wb, b, b)
+        blocks_flat = blocks.reshape(scores.shape[:-2] + (Hb * Wb, b * b))
+        bmax = jnp.max(blocks_flat, axis=-1)  # (..., Hb*Wb)
+        barg = jnp.argmax(blocks_flat, axis=-1)  # offset within block
+        vals, idx = jax.lax.top_k(bmax, k)  # over the reduced map
+        sub = jnp.take_along_axis(barg, idx, axis=-1)
+        by = idx // Wb
+        bx = idx % Wb
+        ys = (by * b + sub // b).astype(jnp.float32)
+        xs = (bx * b + sub % b).astype(jnp.float32)
+    else:
+        flat = scores.reshape(scores.shape[:-2] + (H * W,))
+        vals, idx = jax.lax.top_k(flat, k)
+        ys = (idx // W).astype(jnp.float32)
+        xs = (idx % W).astype(jnp.float32)
     kpts = jnp.stack([xs, ys], axis=-1)
     valid = vals > threshold
     vals = jnp.where(valid, vals, jnp.zeros_like(vals))

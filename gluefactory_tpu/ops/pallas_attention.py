@@ -79,14 +79,18 @@ def flash_attention(q, k, v, mask=None, block_q: int = 256, block_kv: int = 256)
     M = k.shape[2]
     if mask is None:
         mask = jnp.ones((B, M), bool)
-    scale = D ** -0.5
+    scale = D ** -0.5  # scale by the TRUE head dim, not the padded one
 
     Np = ((N + block_q - 1) // block_q) * block_q
     Mp = ((M + block_kv - 1) // block_kv) * block_kv
-    q_p = _pad_to(q, Np, 2)
-    k_p = _pad_to(k, Mp, 2)
-    v_p = _pad_to(v, Mp, 2)
+    # Mosaic lane tiling: last dim must be a multiple of 128; zero-pad the
+    # head dim (zeros don't change QK^T or PV)
+    Dp = ((D + 127) // 128) * 128
+    q_p = _pad_to(_pad_to(q, Np, 2), Dp, 3)
+    k_p = _pad_to(_pad_to(k, Mp, 2), Dp, 3)
+    v_p = _pad_to(_pad_to(v, Mp, 2), Dp, 3)
     mask_p = _pad_to(mask, Mp, 1, value=False)
+    D = Dp
 
     grid = (B, H, Np // block_q)
     kernel = functools.partial(
@@ -110,25 +114,82 @@ def flash_attention(q, k, v, mask=None, block_q: int = 256, block_kv: int = 256)
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, Mp), lambda b, h, i: (b, 0), memory_space=pltpu.VMEM
+                (1, 1, Mp), lambda b, h, i: (b, 0, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, block_q, D), lambda b, h, i: (b, h, i, 0),
             memory_space=pltpu.VMEM,
         ),
-    )(
-        q_p.reshape(B, H, Np, D),
-        k_p,
-        v_p,
-        mask_p,
-    )
-    return out[:, :, :N, :]
+    )(q_p, k_p, v_p, mask_p[:, None, :])
+    return out[:, :, :N, : q.shape[-1]]
+
+
+def _fused_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
+    """Single-shot fused attention for matcher-sized token counts.
+
+    One grid step per (b, h): S = QK^T lives entirely in VMEM (N, M <= ~2048
+    => <= 16 MB), masked softmax on the VPU, O = PV back through the MXU.
+    No HBM materialization of S — the win over the XLA path, without the
+    online-softmax bookkeeping of the streaming kernel.
+    """
+    q = q_ref[0, 0]  # (N, D)
+    k = k_ref[0, 0]  # (M, D)
+    v = v_ref[0, 0]
+    mask = mask_ref[0]  # (1, M)
+    s = jnp.dot(q * sm_scale, k.T, preferred_element_type=jnp.float32)
+    s = jnp.where(mask, s, NEG_INF)  # (N, M) broadcast over rows
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.where(mask, jnp.exp(s - m), 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ) / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def fused_attention(q, k, v, mask=None):
+    """Fused masked attention, one (b, h) tile per grid step.
+
+    q: (B, H, N, D); k/v: (B, H, M, D); mask: (B, M). Use for N*M tiles that
+    fit VMEM (keypoint matchers: N, M <= 2048).
+    """
+    B, H, N, D = q.shape
+    M = k.shape[2]
+    if mask is None:
+        mask = jnp.ones((B, M), bool)
+    scale = D ** -0.5
+    Dp = ((D + 127) // 128) * 128
+    Np = ((N + 7) // 8) * 8
+    Mp = ((M + 127) // 128) * 128
+    q_p = _pad_to(_pad_to(q, Np, 2), Dp, 3)
+    k_p = _pad_to(_pad_to(k, Mp, 2), Dp, 3)
+    v_p = _pad_to(_pad_to(v, Mp, 2), Dp, 3)
+    mask_p = _pad_to(mask, Mp, 1, value=False)
+
+    kernel = functools.partial(_fused_kernel, sm_scale=scale)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, Dp), q.dtype),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Np, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, Np, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )(q_p, k_p, v_p, mask_p[:, None, :])
+    return out[:, :, :N, : q.shape[-1]]
 
 
 def _kernel_wrapper_squeeze(q_ref, k_ref, v_ref, mask_ref, o_ref, **kw):
     # BlockSpecs with leading (1, 1, ...) give refs shaped (1, 1, bq, D);
-    # squeeze views for the core kernel
+    # squeeze views for the core kernel. mask_ref: (1, 1, Mp) -> (1, Mp).
     _flash_kernel(
-        q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], mask_ref, o_ref.at[0, 0], **kw
+        q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], mask_ref.at[0],
+        o_ref.at[0, 0], **kw
     )

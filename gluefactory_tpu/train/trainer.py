@@ -70,6 +70,7 @@ class TrainState:
     params: dict
     opt_state: dict
     step: jnp.ndarray
+    rng: jnp.ndarray | None = None  # for in-graph augmentations ("aug" stream)
 
 
 def build_optimizer(conf: Config, model_conf: Config):
@@ -135,7 +136,7 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
 
     model_loss = model.make_loss_fn()  # built outside the trace (flax rule)
 
-    def loss_fn(params, data):
+    def loss_fn(params, data, rng):
         if mp_dtype is not None:
             params = jax.tree.map(
                 lambda x: x.astype(mp_dtype)
@@ -143,15 +144,17 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
                 else x,
                 params,
             )
-        pred = model.apply(params, data, train=True)
+        pred = model.apply(params, data, train=True, rngs={"aug": rng})
         losses, metrics = model_loss(pred, {**data, **pred})
         total = jnp.mean(losses["total"].astype(jnp.float32))
         return total, (losses, metrics)
 
     def train_step(state: TrainState, data):
+        rng = state.rng if state.rng is not None else jax.random.PRNGKey(0)
+        rng, step_rng = jax.random.split(rng)
         (_, (losses, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, data)
+        )(state.params, data, step_rng)
         # in-graph NaN/Inf skip (consistent across shards automatically)
         flat = jax.tree_util.tree_leaves(grads)
         ok = jnp.all(
@@ -160,7 +163,7 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
         grads = jax.tree.map(lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        new_state = TrainState(params, opt_state, state.step + 1)
+        new_state = TrainState(params, opt_state, state.step + 1, rng)
         stats = {
             "skipped": (~ok).astype(jnp.float32),
             "grad_norm": optax.global_norm(grads),
@@ -168,7 +171,9 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
         return new_state, losses, metrics, stats
 
     def eval_step(params, data):
-        pred = model.apply(params, data, train=True)
+        pred = model.apply(
+            params, data, train=True, rngs={"aug": jax.random.PRNGKey(0)}
+        )
         losses, metrics = model_loss(pred, {**pred, **data})
         return losses, metrics
 
@@ -243,7 +248,8 @@ def training(conf: Config, output_dir: Path, args=None):
     # init params from a template batch
     template = prepare_batch(next(iter(train_loader)), mesh)
     rng = jax.random.PRNGKey(train_conf.seed)
-    params = model.init(rng, template, train=True)
+    rng, init_rng, aug_rng = jax.random.split(rng, 3)
+    params = model.init({"params": init_rng, "aug": aug_rng}, template, train=True)
 
     if train_conf.load_experiment:
         from ..utils.experiments import get_best_checkpoint
@@ -255,7 +261,7 @@ def training(conf: Config, output_dir: Path, args=None):
 
     tx = build_optimizer(train_conf, conf.model)
     opt_state = tx.init(params)
-    state = TrainState(params, opt_state, jnp.asarray(0))
+    state = TrainState(params, opt_state, jnp.asarray(0), rng)
 
     start_epoch = 0
     best_eval = None

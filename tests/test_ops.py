@@ -132,3 +132,21 @@ def test_ransac_essential_recovers_pose():
     assert float(t_err) < 2.0, float(t_err)
     inl = np.asarray(res.inliers)
     assert inl[n_out:].mean() > 0.9
+
+
+def test_block_topk_exact_after_nms():
+    rng = np.random.RandomState(2)
+    s = jnp.asarray(rng.rand(2, 64, 96), jnp.float32)
+    nms = simple_nms(s, radius=4)
+    k = 50
+    kp_full, v_full, val_full = top_k_keypoints(nms, k, 0.1, nms_radius=0)
+    kp_blk, v_blk, val_blk = top_k_keypoints(nms, k, 0.1, nms_radius=4)
+    # same scores selected (coords may tie-order differently at equal scores)
+    np.testing.assert_allclose(np.asarray(v_blk), np.asarray(v_full), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(val_blk), np.asarray(val_full))
+    # all selected positions carry the same score in the original map
+    for b in range(2):
+        sel = np.asarray(val_blk[b])
+        xy = np.asarray(kp_blk[b][sel]).astype(int)
+        got = np.asarray(nms[b])[xy[:, 1], xy[:, 0]]
+        np.testing.assert_allclose(got, np.asarray(v_blk[b][sel]), atol=1e-6)
