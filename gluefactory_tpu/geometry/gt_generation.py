@@ -446,3 +446,83 @@ def gt_matches_from_roma_warp(
         "gt_kp0_1": kp0_1,
         "gt_certainty0": cert0,
     }
+
+
+def gt_line_matches_from_pose_depth(
+    lines0: jnp.ndarray,
+    lines1: jnp.ndarray,
+    depth0: jnp.ndarray,
+    depth1: jnp.ndarray,
+    cam0: Camera,
+    cam1: Camera,
+    T_0to1: Pose,
+    valid0: jnp.ndarray | None = None,
+    valid1: jnp.ndarray | None = None,
+    n_samples: int = 21,
+    dist_th: float = 5.0,
+    overlap_th: float = 0.2,
+):
+    """GT line matches from pose + dense depth
+    (reference `gt_line_matches_from_pose_depth:848`).
+
+    Points sampled along each segment are reprojected through the depth maps;
+    pairwise overlap = fraction of valid reprojected samples lying on the
+    other segment (perpendicular distance + in-segment projection). Lines
+    with too few valid depth samples are IGNORE.
+    """
+    if valid0 is None:
+        valid0 = jnp.ones(lines0.shape[:-2], bool)
+    if valid1 is None:
+        valid1 = jnp.ones(lines1.shape[:-2], bool)
+
+    def reproject_samples(lines, depth_src, cam_src, cam_dst, T, flat_batch):
+        pts = _line_point_samples(lines, n_samples)  # (..., L, n, 2)
+        shape = pts.shape
+        flat = pts.reshape(shape[:-3] + (-1, 2))
+        d, dv = sample_depth_bilinear(depth_src, flat)
+        proj, pv = project(flat, d, None, cam_src, cam_dst, T, dv)
+        return proj.reshape(shape), (pv & dv).reshape(shape[:-1])
+
+    pts0_1, v0s = reproject_samples(lines0, depth0, cam0, cam1, T_0to1, None)
+    pts1_0, v1s = reproject_samples(
+        lines1, depth1, cam1, cam0, T_0to1.inv(), None
+    )
+
+    def overlap_valid(pts, sample_valid, target_lines):
+        # fraction over VALID samples only
+        a = target_lines[..., 0, :]
+        b = target_lines[..., 1, :]
+        ab = b - a
+        len2 = jnp.maximum(jnp.sum(ab**2, -1), 1e-8)
+        d = pts[..., :, :, None, :] - a[..., None, None, :, :]
+        tproj = jnp.sum(d * ab[..., None, None, :, :], -1) / len2[..., None, None, :]
+        proj = a[..., None, None, :, :] + tproj[..., None] * ab[..., None, None, :, :]
+        perp = jnp.linalg.norm(pts[..., :, :, None, :] - proj, axis=-1)
+        on = (perp < dist_th) & (tproj >= 0.0) & (tproj <= 1.0)
+        on = on & sample_valid[..., :, :, None]
+        n_valid = jnp.maximum(
+            jnp.sum(sample_valid[..., :, :, None], axis=-2), 1
+        )  # (..., L0, L1)
+        frac = jnp.sum(on, axis=-2) / n_valid
+        enough = jnp.sum(sample_valid, axis=-1, keepdims=True) >= max(
+            2, n_samples // 4
+        )
+        return jnp.where(enough, frac, 0.0), enough[..., 0]
+
+    ov01, enough0 = overlap_valid(pts0_1, v0s, lines1)
+    ov10, enough1 = overlap_valid(pts1_0, v1s, lines0)
+    overlap = jnp.minimum(ov01, jnp.swapaxes(ov10, -1, -2))
+    mask = valid0[..., :, None] & valid1[..., None, :]
+    overlap = jnp.where(mask, overlap, 0.0)
+
+    dist = _masked_dist(1.0 - overlap, mask)
+    assignment, m0, m1 = _assignment_from_dist(
+        dist, valid0, valid1, pos_th=1.0 - overlap_th, neg_th=1.0 - 1e-6,
+        can_neg0=enough0, can_neg1=enough1,
+    )
+    return {
+        "gt_line_assignment": assignment,
+        "gt_line_matches0": m0,
+        "gt_line_matches1": m1,
+        "gt_line_overlap": overlap,
+    }

@@ -102,13 +102,14 @@ class GSLayer(nn.Module):
 
     dim: int
     num_heads: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, carry, _):
         x0, x1, mask0, mask1, lj0, lj1, lv0, lv1 = carry
-        self_prop = AttentionalPropagation(self.dim, self.num_heads, name="self")
+        self_prop = AttentionalPropagation(self.dim, self.num_heads, "layer", self.dtype, name="self")
         line_layer = LineMessageLayer(self.dim, name="line")
-        cross_prop = AttentionalPropagation(self.dim, self.num_heads, name="cross")
+        cross_prop = AttentionalPropagation(self.dim, self.num_heads, "layer", self.dtype, name="cross")
         x0 = self_prop(x0, x0, mask0)
         x1 = self_prop(x1, x1, mask1)
         x0 = line_layer(x0, lj0, lv0)
@@ -127,6 +128,7 @@ class GlueStick(BaseModel):
         "sinkhorn_iterations": 50,
         "filter_threshold": 0.2,
         "line_filter_threshold": 0.2,
+        "dtype": "float32",  # "bfloat16": GNN compute on the MXU
         "loss": {"nll_balancing": 0.5, "line_weight": 1.0},
         "weights": None,
     }
@@ -152,7 +154,7 @@ class GlueStick(BaseModel):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
-        )(D, c.num_heads, name="gnn")
+        )(D, c.num_heads, c.dtype, name="gnn")
         self.final_proj = nn.Dense(D, name="final_proj")
         self.bin_score = self.param("bin_score", nn.initializers.constant(1.0), ())
 

@@ -50,24 +50,28 @@ class AttentionalPropagation(nn.Module):
     dim: int
     num_heads: int
     norm: str = "layer"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, source, mask_src):
         B, N, D = x.shape
         H = self.num_heads
-        q = nn.Dense(D, name="q")(x).reshape(B, N, H, D // H).transpose(0, 2, 1, 3)
-        k = nn.Dense(D, name="k")(source).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
-        v = nn.Dense(D, name="v")(source).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        x = x.astype(dt)
+        source = source.astype(dt)
+        q = nn.Dense(D, dtype=dt, name="q")(x).reshape(B, N, H, D // H).transpose(0, 2, 1, 3)
+        k = nn.Dense(D, dtype=dt, name="k")(source).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        v = nn.Dense(D, dtype=dt, name="v")(source).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
         msg = masked_attention(q, k, v, mask_src)
-        msg = msg.transpose(0, 2, 1, 3).reshape(B, N, D)
-        msg = nn.Dense(D, name="merge")(msg)
+        msg = msg.transpose(0, 2, 1, 3).reshape(B, N, D).astype(dt)
+        msg = nn.Dense(D, dtype=dt, name="merge")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * D, name="mlp0")(y)
+        y = nn.Dense(2 * D, dtype=dt, name="mlp0")(y)
         if self.norm == "layer":
-            y = nn.LayerNorm(name="mlp_norm")(y)
+            y = nn.LayerNorm(dtype=dt, name="mlp_norm")(y)
         y = nn.relu(y)
-        y = nn.Dense(D, name="mlp1")(y)
-        return x + y
+        y = nn.Dense(D, dtype=dt, name="mlp1")(y)
+        return (x + y).astype(jnp.float32)
 
 
 class SGLayer(nn.Module):
@@ -76,12 +80,13 @@ class SGLayer(nn.Module):
     dim: int
     num_heads: int
     norm: str = "layer"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, carry, _):
         x0, x1, mask0, mask1 = carry
-        self_prop = AttentionalPropagation(self.dim, self.num_heads, self.norm, name="self")
-        cross_prop = AttentionalPropagation(self.dim, self.num_heads, self.norm, name="cross")
+        self_prop = AttentionalPropagation(self.dim, self.num_heads, self.norm, self.dtype, name="self")
+        cross_prop = AttentionalPropagation(self.dim, self.num_heads, self.norm, self.dtype, name="cross")
         x0 = self_prop(x0, x0, mask0)
         x1 = self_prop(x1, x1, mask1)
         x0n = cross_prop(x0, x1, mask1)
@@ -98,6 +103,7 @@ class SuperGlue(BaseModel):
         "sinkhorn_iterations": 50,
         "filter_threshold": 0.2,
         "norm": "layer",  # "none" for converted BN-folded official weights
+        "dtype": "float32",  # "bfloat16": GNN compute on the MXU
         "loss": {"nll_balancing": 0.5},
         "weights": None,
     }
@@ -113,7 +119,7 @@ class SuperGlue(BaseModel):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
-        )(D, c.num_heads, c.norm, name="gnn")
+        )(D, c.num_heads, c.norm, c.dtype, name="gnn")
         self.final_proj = nn.Dense(D, name="final_proj")
         self.bin_score = self.param(
             "bin_score", nn.initializers.constant(1.0), ()

@@ -70,11 +70,29 @@ def _pad_to(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_kv"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def flash_attention(q, k, v, mask=None, block_q: int = 256, block_kv: int = 256):
-    """Fused masked attention. q: (B, H, N, D); k/v: (B, H, M, D);
-    mask: (B, M) key validity. Returns (B, H, N, D).
+    """Streaming fused masked attention (for tiles beyond VMEM).
+
+    q: (B, H, N, D); k/v: (B, H, M, D); mask: (B, M). Backward uses dense
+    recompute (same caveat as fused_attention).
     """
+    return _flash_attention_impl(q, k, v, mask, block_q, block_kv)
+
+
+def _flash_fwd(q, k, v, mask, block_q, block_kv):
+    return _flash_attention_impl(q, k, v, mask, block_q, block_kv), (q, k, v, mask)
+
+
+def _flash_bwd(block_q, block_kv, res, g):
+    return _fused_bwd(res, g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_kv"))
+def _flash_attention_impl(q, k, v, mask=None, block_q: int = 256, block_kv: int = 256):
     B, H, N, D = q.shape
     M = k.shape[2]
     if mask is None:
@@ -148,13 +166,52 @@ def _fused_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, sm_scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.custom_vjp
 def fused_attention(q, k, v, mask=None):
     """Fused masked attention, one (b, h) tile per grid step.
 
     q: (B, H, N, D); k/v: (B, H, M, D); mask: (B, M). Use for N*M tiles that
     fit VMEM (keypoint matchers: N, M <= 2048).
+
+    Differentiable: the backward pass recomputes attention with dense XLA
+    math (training materializes (N, M) anyway for the gradients).
     """
+    return _fused_attention_impl(q, k, v, mask)
+
+
+def _dense_reference(q, k, v, mask):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhnd,bhmd->bhnm", q, k) * scale
+    if mask is not None:
+        s = jnp.where(mask[:, None, None, :], s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    if mask is not None:
+        any_valid = jnp.any(mask, axis=-1)[:, None, None, None]
+        p = jnp.where(any_valid, p, jnp.zeros_like(p))
+    return p
+
+
+def _fused_fwd(q, k, v, mask):
+    return _fused_attention_impl(q, k, v, mask), (q, k, v, mask)
+
+
+def _fused_bwd(res, g):
+    q, k, v, mask = res
+    scale = q.shape[-1] ** -0.5
+    p = _dense_reference(q, k, v, mask)
+    dv = jnp.einsum("bhnm,bhnd->bhmd", p, g)
+    dp = jnp.einsum("bhnd,bhmd->bhnm", g, v)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bhmd->bhnd", ds, k) * scale
+    dk = jnp.einsum("bhnm,bhnd->bhmd", ds, q) * scale
+    return dq, dk, dv, None
+
+
+fused_attention.defvjp(_fused_fwd, _fused_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fused_attention_impl(q, k, v, mask=None):
     B, H, N, D = q.shape
     M = k.shape[2]
     if mask is None:

@@ -116,12 +116,22 @@ def build_optimizer(conf: Config, model_conf: Config):
             frozen_roots.add(key)
     if frozen_roots:
         def label_tree(params):
-            return {
-                k: jax.tree.map(
-                    lambda _: "frozen" if k in frozen_roots else "train", v
-                )
-                for k, v in params.items()
-            }
+            # params is the flax variables dict: {"params": {extractor: ...}}
+            def label_inner(inner):
+                return {
+                    k: jax.tree.map(
+                        lambda _: "frozen" if k in frozen_roots else "train", v
+                    )
+                    for k, v in inner.items()
+                }
+
+            if "params" in params and isinstance(params["params"], dict):
+                return {
+                    k: (label_inner(v) if k == "params" else
+                        jax.tree.map(lambda _: "train", v))
+                    for k, v in params.items()
+                }
+            return label_inner(params)
 
         tx = optax.multi_transform(
             {"train": tx, "frozen": optax.set_to_zero()}, label_tree
@@ -242,7 +252,20 @@ def training(conf: Config, output_dir: Path, args=None):
         val_loader = dataset.get_data_loader("val")
 
     model = get_model(conf.model.name).from_conf(conf.model)
-    mesh = make_mesh()
+    # the data axis must divide the batch; use gcd(batch, devices) and leave
+    # the rest of the devices idle (a too-small batch is a config smell that
+    # we log rather than crash on)
+    import math
+
+    n_dev = len(jax.devices())
+    batch = int(dataset.conf.get("train_batch_size", 1))
+    data_axis = math.gcd(batch, n_dev)
+    if data_axis < n_dev:
+        logger.warning(
+            f"batch size {batch} not divisible by {n_dev} devices; using "
+            f"{data_axis}-way data parallelism"
+        )
+    mesh = make_mesh(data=data_axis, model=1, devices=jax.devices()[:data_axis])
     logger.info(f"mesh: {mesh}")
 
     # init params from a template batch

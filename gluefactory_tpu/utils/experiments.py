@@ -75,6 +75,8 @@ def save_experiment(
 
 def get_last_checkpoint(exp, allow_interrupted: bool = True) -> Path:
     exp_dir = TRAINING_PATH / exp if not Path(exp).exists() else Path(exp)
+    if (Path(exp_dir) / "state").exists():  # already a checkpoint dir
+        return Path(exp_dir)
     ckpts = _ckpt_dirs(Path(exp_dir))
     if allow_interrupted and (Path(exp_dir) / "checkpoint_interrupted").exists():
         ckpts = ckpts + [(-1, Path(exp_dir) / "checkpoint_interrupted")]
@@ -85,6 +87,8 @@ def get_last_checkpoint(exp, allow_interrupted: bool = True) -> Path:
 
 def get_best_checkpoint(exp) -> Path:
     exp_dir = TRAINING_PATH / exp if not Path(exp).exists() else Path(exp)
+    if (Path(exp_dir) / "state").exists():  # already a checkpoint dir
+        return Path(exp_dir)
     best = Path(exp_dir) / "checkpoint_best"
     if not best.exists():
         return get_last_checkpoint(exp)

@@ -94,3 +94,21 @@ def test_wireframe_and_gluestick_end_to_end():
     losses, metrics = loss_fn(pred, {**data, **pred})
     assert np.isfinite(np.asarray(losses["total"])).all()
     assert "line_nll" in losses
+
+
+def test_gt_line_matches_pose_depth():
+    import jax.numpy as jnp
+    from gluefactory_tpu.geometry.gt_generation import gt_line_matches_from_pose_depth
+    from gluefactory_tpu.geometry.wrappers import Camera, Pose
+
+    # fronto-parallel plane at depth 2, identity-ish pose with small shift
+    cam = Camera.from_data(jnp.asarray([320, 240, 200.0, 200.0, 160.0, 120.0]))
+    T = Pose.from_aa(jnp.zeros(3), jnp.asarray([0.1, 0.0, 0.0]))
+    depth = jnp.full((1, 240, 320), 2.0)
+    lines0 = jnp.asarray([[[[50.0, 60.0], [150.0, 60.0]], [[80.0, 100.0], [80.0, 200.0]]]])
+    # shift in x by fx * tx / z = 200*0.1/2 = 10 px
+    lines1 = lines0 + jnp.asarray([10.0, 0.0])
+    out = gt_line_matches_from_pose_depth(
+        lines0, lines1, depth, depth, cam, cam, T
+    )
+    np.testing.assert_array_equal(np.asarray(out["gt_line_matches0"][0]), [0, 1])

@@ -45,3 +45,23 @@ def test_flash_fully_masked_rows_zero():
     mask = jnp.zeros((B, N), bool)
     out = pa.flash_attention(q, k, v, mask)
     assert float(jnp.max(jnp.abs(out))) == 0.0
+
+
+def test_fused_attention_grad_matches_dense():
+    rng = np.random.RandomState(0)
+    B, H, N, D = 1, 2, 64, 32
+    q = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    k = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    v = jnp.asarray(rng.randn(B, H, N, D), jnp.float32)
+    mask = jnp.asarray(rng.rand(B, N) > 0.2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(pa.fused_attention(q, k, v, mask) ** 2)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(masked_attention(q, k, v, mask, impl="xla") ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -1,0 +1,118 @@
+"""Trainer end-to-end on CPU: short run, checkpoint, restore, overfit mode."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tiny_conf(tmp_path, monkeypatch):
+    import gluefactory_tpu.train.trainer as tr
+
+    monkeypatch.setattr(tr, "TRAINING_PATH", tmp_path)
+    from gluefactory_tpu.core.config import Config
+
+    return Config(
+        {
+            "data": {
+                "name": "homographies",
+                "synthetic": {"enable": True, "num_images": 8, "size": [96, 96]},
+                "train_size": 6,
+                "val_size": 2,
+                "batch_size": 2,
+                "num_workers": 1,
+                "homography": {
+                    "difficulty": 0.4,
+                    "max_angle": 20,
+                    "patch_shape": [96, 96],
+                },
+                "photometric": {"name": "identity"},
+            },
+            "model": {
+                "name": "two_view_pipeline",
+                "extractor": {
+                    "name": "superpoint",
+                    "max_num_keypoints": 32,
+                    "detection_threshold": 0.0,
+                    "channels": [4, 4, 8],
+                    "norm": "group",
+                    "trainable": False,
+                },
+                "ground_truth": {"name": "homography_matcher"},
+                "matcher": {
+                    "name": "lightglue",
+                    "n_layers": 2,
+                    "descriptor_dim": 32,
+                    "input_dim": 256,
+                    "num_heads": 2,
+                },
+            },
+            "train": {
+                "seed": 0,
+                "epochs": 1,
+                "log_every_iter": 1,
+                "eval_every_iter": 2,
+                "lr": 1e-4,
+            },
+        }
+    )
+
+
+def test_training_creates_checkpoints_and_restores(tiny_conf, tmp_path):
+    from gluefactory_tpu.train.trainer import training
+    from gluefactory_tpu.utils.experiments import (
+        get_best_checkpoint,
+        get_last_checkpoint,
+        load_checkpoint,
+    )
+
+    out = tmp_path / "exp"
+    state = training(tiny_conf, out)
+    assert (out / "checkpoint_best").exists()
+    last = get_last_checkpoint(out)
+    restored = load_checkpoint(last)
+    assert "params" in restored and "opt_state" in restored
+    assert int(np.asarray(restored["step"])) > 0
+
+    # frozen extractor params unchanged; matcher params changed
+    import jax
+
+    p = restored["params"]["params"]
+    flat_m = jax.tree_util.tree_leaves(p["matcher"])
+    assert any(np.abs(np.asarray(x)).sum() > 0 for x in flat_m)
+
+    # load_experiment round-trip through the best checkpoint
+    import gluefactory_tpu.utils.experiments as ex
+
+    model, variables, conf = ex.load_experiment(get_best_checkpoint(out))
+    assert conf["model"]["name"] == "two_view_pipeline"
+
+
+def test_frozen_extractor_params_not_updated(tiny_conf, tmp_path):
+    import jax
+
+    from gluefactory_tpu.train.trainer import training
+
+    out = tmp_path / "exp2"
+    # capture extractor params at init by re-running with 1 iter
+    tiny_conf.merge_({"train": {"epochs": 1}})
+    state = training(tiny_conf, out)
+    # extractor opt state is set_to_zero -> updates are exactly zero; verify
+    # by checking adam moments for the extractor are absent/zero is hard; we
+    # instead re-init with the same seed and compare extractor params
+    from gluefactory_tpu.datasets import get_dataset
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.train.trainer import prepare_batch
+    from gluefactory_tpu.parallel.mesh import make_mesh
+
+    dataset = get_dataset("homographies")(tiny_conf.data)
+    loader = dataset.get_data_loader("train", shuffle=False)
+    mesh = make_mesh(data=2, model=1, devices=__import__("jax").devices()[:2])
+    template = prepare_batch(next(iter(loader)), mesh)
+    model = get_model("two_view_pipeline").from_conf(tiny_conf.model)
+    rng = jax.random.PRNGKey(tiny_conf.train["seed"])
+    rng, init_rng, aug_rng = jax.random.split(rng, 3)
+    params0 = model.init({"params": init_rng, "aug": aug_rng}, template, train=True)
+    ex0 = jax.tree_util.tree_leaves(params0["params"]["extractor"])
+    ex1 = jax.tree_util.tree_leaves(state.params["params"]["extractor"])
+    for a, b in zip(ex0, ex1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
