@@ -278,6 +278,26 @@ class LightGlue(BaseModel):
             "matching_scores0": jnp.where(mask0, ms0, 0.0),
             "matching_scores1": jnp.where(mask1, ms1, 0.0),
         }
+        if not train and c.depth_confidence > 0:
+            # adaptive-depth diagnostic (reference `check_if_stop`,
+            # `lightglue.py:555-569`): the first layer whose token confidences
+            # clear the threshold for >=95% of valid tokens. Reported as
+            # `stop_layers` (B,); actual compute still runs all layers (an
+            # early-exit `lax.while_loop` over sliced scan params is a
+            # planned optimization).
+            conf_all = jnp.concatenate(
+                [per_layer["conf0"], per_layer["conf1"]], axis=-1
+            )  # (L, B, N+M)
+            valid_all = jnp.concatenate([mask0, mask1], axis=-1)[None]
+            frac = jnp.sum(
+                (conf_all > c.depth_confidence) & valid_all, axis=-1
+            ) / jnp.maximum(jnp.sum(valid_all, axis=-1), 1)  # (L, B)
+            would_stop = frac > 0.95
+            stop_layer = jnp.argmax(would_stop, axis=0)  # first True, else 0
+            any_stop = jnp.any(would_stop, axis=0)
+            pred["stop_layers"] = jnp.where(
+                any_stop, stop_layer + 1, c.n_layers
+            ).astype(jnp.int32)
         if train:
             pred["all_log_assignment"] = per_layer["scores"]  # (L, B, N, M)
             pred["all_conf0"] = per_layer["conf0"]

@@ -380,7 +380,20 @@ def training(conf: Config, output_dir: Path, args=None):
                     results = do_evaluation(
                         eval_step, state.params, val_loader, mesh, train_conf
                     )
-                    msg = ", ".join(f"{k} {v:.4f}" for k, v in list(results.items())[:6])
+                    # lead with the headline keys, then the rest
+                    head = [
+                        k
+                        for k in (
+                            "loss/total",
+                            "match_recall",
+                            "match_precision",
+                            "accuracy",
+                            "num_matches",
+                        )
+                        if k in results
+                    ]
+                    rest = [k for k in results if k not in head][:4]
+                    msg = ", ".join(f"{k} {results[k]:.4f}" for k in head + rest)
                     logger.info(f"[validation iter {n_iter}] {msg}")
                     if writer and is_leader:
                         for k, v in results.items():
