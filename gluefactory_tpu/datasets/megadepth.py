@@ -181,6 +181,41 @@ class _MegaDepthSplit:
         }
 
 
+class _MegaDepthTriplets(_MegaDepthSplit):
+    """Triplet sampling (reference `_TripletDataset:371`): per pair (i, j),
+    add a third view k maximizing min(overlap(i,k), overlap(j,k))."""
+
+    def sample_new_items(self, seed):
+        super().sample_new_items(seed)
+        triplets = []
+        for scene, i0, i1 in self.items:
+            ov = np.asarray(self.info[scene]["overlap_matrix"], np.float32)
+            cand = np.minimum(ov[i0], ov[i1])
+            cand[[i0, i1]] = -1
+            k = int(np.argmax(cand))
+            if cand[k] >= self.conf.min_overlap:
+                triplets.append((scene, i0, i1, k))
+        self.items = triplets
+
+    def __getitem__(self, idx):
+        scene, i0, i1, i2 = self.items[idx]
+        info = self.info[scene]
+        views = [self._read_view(info, i) for i in (i0, i1, i2)]
+        Ts = [v.pop("T_w2cam") for v in views]
+        data = {
+            "view0": views[0],
+            "view1": views[1],
+            "view2": views[2],
+            "idx": idx,
+            "name": f"{scene}/{views[0]['name']}_{views[1]['name']}_{views[2]['name']}",
+            "scene": scene,
+        }
+        for (a, b) in ((0, 1), (0, 2), (1, 2)):
+            T = (Ts[b] @ Ts[a].inv()).float()
+            data[f"T_{a}to{b}"] = T
+        return data
+
+
 class MegaDepth(BaseDataset):
     default_conf = {
         "data_dir": "megadepth",
@@ -200,6 +235,7 @@ class MegaDepth(BaseDataset):
         "read_depth": True,
         "p_rotate": 0.0,
         "rotate_both": False,
+        "views": 2,  # 3 -> triplet sampling (reference `_TripletDataset:371`)
         "preprocessing": {"resize": 1024, "side": "long", "square_pad": True},
         "load_features": {
             "do": False,
@@ -217,7 +253,10 @@ class MegaDepth(BaseDataset):
 
     def get_dataset(self, split):
         if split not in self._splits:
-            self._splits[split] = _MegaDepthSplit(self.conf, self.root, split)
+            cls = (
+                _MegaDepthTriplets if self.conf.get("views", 2) == 3 else _MegaDepthSplit
+            )
+            self._splits[split] = cls(self.conf, self.root, split)
         return self._splits[split]
 
     def sample_new_items(self, seed: int):

@@ -253,3 +253,114 @@ def _matched_epi_distance(E: jnp.ndarray, p0: jnp.ndarray, p1: jnp.ndarray):
         1.0 / jnp.sqrt(jnp.maximum(n0, 1e-15)) + 1.0 / jnp.sqrt(jnp.maximum(n1, 1e-15))
     )
     return d / 2.0
+
+
+# ---------------------------------------------------------------------------
+# Point + line hybrid homography (homography_est replacement)
+# ---------------------------------------------------------------------------
+
+
+def _line_homography_residual(H: jnp.ndarray, lines0: jnp.ndarray, lines1: jnp.ndarray):
+    """Perpendicular distance of warped line-0 endpoints to the infinite
+    line of their matched segment in view 1.
+
+    H: (S, 3, 3); lines0/lines1: (L, 2, 2) matched segments -> (S, L).
+    """
+    from ..geometry.homography import warp_points
+
+    eps0 = lines0.reshape(-1, 2)  # (2L, 2)
+    warped = warp_points(eps0[None], H, inverse=False)  # (S, 2L, 2)
+    S = H.shape[0]
+    L = lines0.shape[0]
+    warped = warped.reshape(S, L, 2, 2)
+    a = lines1[None, :, 0, :]  # (1, L, 2)
+    b = lines1[None, :, 1, :]
+    ab = b - a
+    norm = jnp.maximum(jnp.linalg.norm(ab, axis=-1), 1e-8)  # (1, L)
+    # signed perpendicular distance of each endpoint: cross(ab, p - a) / |ab|
+    def perp(p):
+        d = p - a
+        return jnp.abs(ab[..., 0] * d[..., 1] - ab[..., 1] * d[..., 0]) / norm
+
+    return 0.5 * (perp(warped[:, :, 0]) + perp(warped[:, :, 1]))  # (S, L)
+
+
+def ransac_homography_points_lines(
+    key,
+    pts0: jnp.ndarray,
+    pts1: jnp.ndarray,
+    pts_valid: jnp.ndarray,
+    lines0: jnp.ndarray,
+    lines1: jnp.ndarray,
+    lines_valid: jnp.ndarray,
+    th: float = 3.0,
+    line_th: float | None = None,
+    num_hyps: int = 512,
+    lo_iters: int = 3,
+) -> RansacResult:
+    """Hybrid point+line homography LO-RANSAC (the `homography_est`
+    replacement, reference `robust_estimators/homography/homography_est.py`).
+
+    Hypotheses come from 4-point minimal sets; MSAC scoring sums point
+    symmetric-transfer and line endpoint-perpendicular residuals; local
+    optimization refits the DLT on point inliers plus line-endpoint
+    pseudo-correspondences (endpoint -> its foot on the matched line).
+    """
+    if line_th is None:
+        line_th = th
+    validf = pts_valid.astype(jnp.float32)
+    lvalidf = lines_valid.astype(jnp.float32)
+    idx = _sample_minimal_sets(key, validf, num_hyps, 4)
+    H = compute_homography_dlt(pts0[idx], pts1[idx])  # (S, 3, 3)
+
+    th2 = th * th
+    lth2 = line_th * line_th
+
+    def score_all(Hs):
+        pe = sym_homography_error(pts0[None], pts1[None], Hs) ** 2  # (S, N)
+        le = _line_homography_residual(Hs, lines0, lines1) ** 2  # (S, L)
+        ps, pw = _msac_score(pe, th2, validf)
+        ls, lw = _msac_score(le, lth2, lvalidf)
+        return ps + ls, pw, lw
+
+    scores, pw, lw = score_all(H)
+    best = jnp.argmax(scores)
+    H_best = H[best]
+    pw_best, lw_best = pw[best], lw[best]
+
+    from ..geometry.homography import warp_points
+
+    def lo_step(carry, _):
+        H_cur, pw_cur, lw_cur, s_cur = carry
+        # line endpoints -> foot point on the matched target line
+        eps0 = lines0.reshape(-1, 2)
+        warped = warp_points(eps0[None], H_cur[None], inverse=False)[0]
+        L = lines0.shape[0]
+        a = jnp.repeat(lines1[:, 0, :], 2, axis=0)  # (2L, 2)
+        b = jnp.repeat(lines1[:, 1, :], 2, axis=0)
+        ab = b - a
+        len2 = jnp.maximum(jnp.sum(ab**2, -1), 1e-8)
+        t = jnp.sum((warped - a) * ab, -1) / len2
+        foot = a + t[:, None] * ab
+        lw_ep = jnp.repeat(lw_cur, 2, axis=0)
+        all_p0 = jnp.concatenate([pts0, eps0], axis=0)
+        all_p1 = jnp.concatenate([pts1, foot], axis=0)
+        all_w = jnp.concatenate([pw_cur, lw_ep], axis=0)
+        H_new = compute_homography_dlt(all_p0, all_p1, all_w)
+        s_new, pw_new, lw_new = score_all(H_new[None])
+        s_new = s_new[0]
+        better = s_new > s_cur
+        return (
+            jnp.where(better, H_new, H_cur),
+            jnp.where(better, pw_new[0], pw_cur),
+            jnp.where(better, lw_new[0], lw_cur),
+            jnp.maximum(s_new, s_cur),
+        ), None
+
+    (H_final, _, _, score), _ = jax.lax.scan(
+        lo_step, (H_best, pw_best, lw_best, scores[best]), None, length=lo_iters
+    )
+    err = sym_homography_error(pts0, pts1, H_final)
+    inliers = (err < th) & pts_valid
+    success = (jnp.sum(pts_valid) + 2 * jnp.sum(lines_valid)) >= 4
+    return RansacResult(H_final, inliers & success, score, success)

@@ -477,6 +477,20 @@ def main_cli(argv=None):
     output_dir = TRAINING_PATH / args.experiment
     output_dir.mkdir(parents=True, exist_ok=True)
     conf.save(output_dir / "config.yaml")
+    # reproducibility: snapshot the package source into the experiment dir
+    # (reference `train.py:1476-1479`)
+    try:
+        import tarfile
+
+        pkg_root = Path(__file__).parent.parent
+        with tarfile.open(output_dir / "source_snapshot.tar.gz", "w:gz") as tar:
+            tar.add(
+                pkg_root,
+                arcname="gluefactory_tpu",
+                filter=lambda ti: None if "__pycache__" in ti.name else ti,
+            )
+    except Exception as e:
+        logger.warning(f"source snapshot failed: {e}")
     training(conf, output_dir, args)
 
 

@@ -150,3 +150,40 @@ def test_block_topk_exact_after_nms():
         xy = np.asarray(kp_blk[b][sel]).astype(int)
         got = np.asarray(nms[b])[xy[:, 1], xy[:, 0]]
         np.testing.assert_allclose(got, np.asarray(v_blk[b][sel]), atol=1e-6)
+
+
+def test_hybrid_point_line_homography():
+    from gluefactory_tpu.ops.ransac import ransac_homography_points_lines
+
+    rng = np.random.RandomState(3)
+    H_gt = jnp.asarray(
+        [[1.02, 0.03, 8.0], [-0.02, 0.97, -5.0], [1e-5, -1e-5, 1.0]], jnp.float32
+    )
+    N, L = 60, 20
+    pts0 = jnp.asarray(rng.rand(N, 2) * 400 + 40, jnp.float32)
+    pts1 = warp_points(pts0, H_gt, inverse=False)
+    pts1 = pts1.at[:20].set(jnp.asarray(rng.rand(20, 2) * 400, jnp.float32))
+    # lines: endpoints warped exactly
+    l0a = rng.rand(L, 2) * 350 + 50
+    l0b = l0a + rng.randn(L, 2) * 60
+    lines0 = jnp.asarray(np.stack([l0a, l0b], 1), jnp.float32)
+    lines1 = jnp.stack(
+        [
+            warp_points(lines0[:, 0], H_gt, inverse=False),
+            warp_points(lines0[:, 1], H_gt, inverse=False),
+        ],
+        axis=1,
+    )
+    res = ransac_homography_points_lines(
+        jax.random.PRNGKey(0),
+        pts0, pts1, jnp.ones(N, bool),
+        lines0, lines1, jnp.ones(L, bool),
+        th=3.0, num_hyps=256,
+    )
+    assert bool(res.success)
+    inl = np.asarray(res.inliers)
+    assert inl[20:].mean() > 0.9
+    from gluefactory_tpu.geometry.homography import homography_corner_error
+
+    err = float(homography_corner_error(res.M, H_gt, jnp.asarray([400.0, 400.0])))
+    assert err < 2.0, err
