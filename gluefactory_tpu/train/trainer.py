@@ -290,7 +290,15 @@ def training(conf: Config, output_dir: Path, args=None):
     best_eval = None
     if args is not None and getattr(args, "restore", False):
         ckpt = get_last_checkpoint(output_dir)
-        state = load_checkpoint(ckpt, state)
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        restored = load_checkpoint(ckpt, template)
+        state = TrainState(
+            restored["params"], restored["opt_state"], restored["step"], state.rng
+        )
         start_epoch = int(np.asarray(state.step)) // max(len(train_loader), 1)
         logger.info(f"restored from {ckpt} at step {int(np.asarray(state.step))}")
 

@@ -45,25 +45,32 @@ def export_predictions(
                     if k in keys + list(optional_keys)
                 }
             # de-scale keypoints to original image coordinates
+            # (reference `export_predictions.py:55-73`: suffixed keys use the
+            # matching view's scales, unsuffixed single-view exports the
+            # top-level scales)
             for idx, (d_item, p_item) in enumerate(
                 zip(index_batch(data), index_batch(pred))
             ):
+                def descale(key, scales, line=False):
+                    s = np.asarray(scales)
+                    if key in p_item:
+                        arr = np.asarray(p_item[key])
+                        p_item[key] = (arr + 0.5) / (s[None] if line else s) - 0.5
+
                 for i in ("0", "1"):
                     view = d_item.get(f"view{i}", {})
                     scales = view.get("scales") if isinstance(view, dict) else None
                     if scales is not None:
-                        s = np.asarray(scales)
-                        if f"keypoints{i}" in p_item:
-                            p_item[f"keypoints{i}"] = (
-                                np.asarray(p_item[f"keypoints{i}"]) + 0.5
-                            ) / s - 0.5
-                        if f"lines{i}" in p_item:
-                            p_item[f"lines{i}"] = (
-                                np.asarray(p_item[f"lines{i}"]) + 0.5
-                            ) / s[None] - 0.5
+                        descale(f"keypoints{i}", scales)
+                        descale(f"lines{i}", scales, line=True)
+                if d_item.get("scales") is not None:
+                    descale("keypoints", d_item["scales"])
+                    descale("lines", d_item["scales"], line=True)
+                # string leaves survive index_batch as the full per-batch
+                # list; pick this item's entry
                 name = d_item["name"]
                 if isinstance(name, (list, tuple)):
-                    name = name[0]
+                    name = name[idx]
                 try:
                     grp = hfile.create_group(str(name))
                 except ValueError:
