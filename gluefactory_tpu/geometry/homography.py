@@ -20,31 +20,38 @@ from .utils import from_homogeneous, to_homogeneous
 # ---------------------------------------------------------------------------
 
 
-def flat2mat(H8):
-    return np.reshape(np.concatenate([H8, np.ones_like(H8[..., :1])], axis=-1), [3, 3])
+def _box_corners(width, height, inset_x=0.0, inset_y=0.0):
+    """Corners of the axis-aligned box of size (width, height), optionally
+    shrunk symmetrically by (inset_x, inset_y) on each side.
+
+    Corner order is (left,top) -> (left,bottom) -> (right,bottom) ->
+    (right,top) in image coordinates, i.e. a consistent winding so that the
+    convexity test below has one expected sign.
+    """
+    x0, x1 = inset_x, width - inset_x
+    y0, y1 = inset_y, height - inset_y
+    return np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0]], np.float32)
 
 
-def create_center_patch(shape, patch_shape=None):
-    if patch_shape is None:
-        patch_shape = shape
-    width, height = shape
-    pwidth, pheight = patch_shape
-    left = int((width - pwidth) / 2)
-    bottom = int((height - pheight) / 2)
-    right = int((width + pwidth) / 2)
-    top = int((height + pheight) / 2)
-    return np.array([[left, bottom], [left, top], [right, top], [right, bottom]])
+def _convexity_margins(quads, norm):
+    """Signed z-components of consecutive edge cross-products.
+
+    quads: (..., 4, 2) corner sets; norm: (2,) divisor (image size) so the
+    margin is resolution-independent. Returns (..., 4). A quad is strictly
+    convex with margin m iff all four values share a sign and exceed m in
+    magnitude.
+    """
+    q = np.asarray(quads, np.float32) / np.asarray(norm, np.float32)
+    edges = np.roll(q, -1, axis=-2) - q  # edge i: corner i -> i+1
+    prev = np.roll(edges, 1, axis=-2)  # edge into corner i
+    return prev[..., 0] * edges[..., 1] - prev[..., 1] * edges[..., 0]
 
 
-def check_convex(patch, min_convexity=0.05):
-    """All consecutive corner cross-products must exceed min_convexity."""
-    for i in range(patch.shape[0]):
-        x1, y1 = patch[(i - 1) % patch.shape[0]]
-        x2, y2 = patch[i]
-        x3, y3 = patch[(i + 1) % patch.shape[0]]
-        if (x2 - x1) * (y3 - y2) - (x3 - x2) * (y2 - y1) > -min_convexity:
-            return False
-    return True
+def _is_convex(quads, norm, min_convexity):
+    c = _convexity_margins(quads, norm)
+    pos = np.all(c > min_convexity, axis=-1)
+    neg = np.all(c < -min_convexity, axis=-1)
+    return pos | neg
 
 
 def sample_homography_corners(
@@ -57,78 +64,91 @@ def sample_homography_corners(
     min_convexity=0.05,
     rng=np.random,
 ):
-    """Random convex 4-corner homography (reference `homography.py:40-107`).
+    """Random convex 4-corner homography (behavior of reference
+    `homography.py:40-107`, re-designed as vectorized candidate sampling).
 
-    Returns (H 3x3 float32, src corners, dst corners, scale, coords).
+    Draws a random convex quadrilateral inside the source image — each
+    corner jittered inward by up to ``difficulty`` of the half-extent —
+    then applies an optional random rotation and translation, and returns
+    the homography that maps the quad onto the full ``patch_shape`` patch.
+
+    Returns (H 3x3 float32 mapping src pixels -> patch pixels,
+    full-image corners, their warp under H, patch_shape).
     """
-    max_angle = max_angle / 180.0 * math.pi
     width, height = shape
-    pwidth, pheight = width * (1 - difficulty), height * (1 - difficulty)
-    min_pts1 = create_center_patch(shape, (pwidth, pheight))
-    full = create_center_patch(shape)
-    pts2 = create_center_patch(patch_shape)
-    scale = min_pts1.astype(np.float32) - full.astype(np.float32)
-    found_valid = False
-    cnt = -1
-    while not found_valid:
-        offsets = rng.uniform(0.0, 1.0, size=(4, 2)) * scale
-        pts1 = full + offsets
-        found_valid = check_convex(pts1 / np.array(shape), min_convexity)
-        cnt += 1
-        if cnt > 100:
-            pts1 = min_pts1.astype(np.float32)
-            break
+    full = _box_corners(width, height)
+    patch = _box_corners(*patch_shape)
 
-    # random rotation
+    # --- corner jitter: draw all candidates at once, keep the first convex
+    # one. Each corner moves from the image corner toward the center by a
+    # uniform fraction of the difficulty-scaled margin.
+    margin = np.array([width, height], np.float32) * 0.5 * difficulty
+    inward = np.sign(np.mean(full, axis=0, keepdims=True) - full)  # (4, 2)
+    n_cand = 64
+    jitter = rng.uniform(0.0, 1.0, size=(n_cand, 4, 2)).astype(np.float32)
+    candidates = full[None] + jitter * margin[None, None] * inward[None]
+    ok = _is_convex(candidates, shape, min_convexity)
+    if ok.any():
+        quad = candidates[int(np.argmax(ok))]
+    else:
+        # fully shrunk box is always convex
+        quad = _box_corners(width, height, margin[0], margin[1])
+
+    # --- rotation: candidate angles evaluated in one shot; first convex
+    # rotated quad wins, otherwise the quad stays unrotated.
     if n_angles > 0 and difficulty > 0:
-        angles = np.linspace(-max_angle * difficulty, max_angle * difficulty, n_angles)
-        rng.shuffle(angles)
-        angles = np.concatenate([[0.0], angles], axis=0)
-        center = np.mean(pts1, axis=0, keepdims=True)
-        rot_mat = np.reshape(
-            np.stack(
-                [np.cos(angles), -np.sin(angles), np.sin(angles), np.cos(angles)],
-                axis=1,
-            ),
-            [-1, 2, 2],
-        )
-        rotated = (
-            np.matmul((pts1 - center)[np.newaxis], rot_mat) + center
-        )  # (n_angles+1, 4, 2)
-        for idx in range(1, rotated.shape[0]):
-            warped = rotated[idx] / np.array(shape)
-            if check_convex(warped, min_convexity):
-                pts1 = rotated[idx]
-                break
+        lim = math.radians(max_angle) * difficulty
+        angles = rng.permutation(np.linspace(-lim, lim, n_angles)).astype(np.float32)
+        c, s = np.cos(angles), np.sin(angles)
+        R = np.moveaxis(np.array([[c, -s], [s, c]]), -1, 0)  # (n_angles, 2, 2)
+        centroid = quad.mean(axis=0)
+        rotated = (quad - centroid) @ np.swapaxes(R, -1, -2) + centroid
+        ok = _is_convex(rotated, shape, min_convexity)
+        if ok.any():
+            quad = rotated[int(np.argmax(ok))]
 
-    # random translation
+    # --- translation: slide the quad uniformly within the image bounds,
+    # scaled by the translation factor.
     if translation > 0:
-        min_trans = -np.min(pts1, axis=0)
-        max_trans = shape - np.max(pts1, axis=0)
-        trans = rng.uniform(min_trans, max_trans)[np.newaxis]
-        pts1 += trans * translation
+        lo = -quad.min(axis=0)
+        hi = np.array(shape, np.float32) - quad.max(axis=0)
+        quad = quad + translation * rng.uniform(lo, hi).astype(np.float32)
 
-    H = compute_homography_np(pts1, pts2, [1.0, 1.0])
-    warped = warp_points_np(full.astype(np.float32), H, inverse=False)
-    return H.astype(np.float32), full, warped, patch_shape
+    H = compute_homography_np(quad, patch)
+    return H.astype(np.float32), full, warp_points_np(full, H, inverse=False), patch_shape
 
 
-def compute_homography_np(pts1_, pts2_, shape):
-    """4-point DLT on the host (reference `homography.py:110-133`)."""
-    shape = np.array(shape, np.float32)
-    pts1 = np.asarray(pts1_, np.float32) / shape[None]
-    pts2 = np.asarray(pts2_, np.float32) / shape[None]
+def compute_homography_np(pts_src, pts_dst, shape=None):
+    """Host-side 4-point DLT: H with pts_dst ~ H @ pts_src (homogeneous).
 
-    def ax(p, q):
-        return [p[0], p[1], 1, 0, 0, 0, -p[0] * q[0], -p[1] * q[0]]
+    Fresh SVD null-space formulation (not the reference's lstsq form): each
+    correspondence contributes two rows of the 8x9 system A h = 0; h is the
+    right singular vector of the smallest singular value.
+    """
+    src = np.asarray(pts_src, np.float64)
+    dst = np.asarray(pts_dst, np.float64)
+    if shape is not None:
+        src = src / np.asarray(shape, np.float64)
+        dst = dst / np.asarray(shape, np.float64)
+    # Hartley normalization for conditioning.
+    def _norm_T(p):
+        mean = p.mean(axis=0)
+        scale = math.sqrt(2.0) / max(np.linalg.norm(p - mean, axis=1).mean(), 1e-12)
+        T = np.diag([scale, scale, 1.0])
+        T[:2, 2] = -scale * mean
+        return T
 
-    def ay(p, q):
-        return [0, 0, 0, p[0], p[1], 1, -p[0] * q[1], -p[1] * q[1]]
-
-    a_mat = np.stack([f(pts1[i], pts2[i]) for i in range(4) for f in (ax, ay)])
-    p_mat = np.array([[pts2[i][j] for i in range(4) for j in range(2)]]).T
-    homography, _, _, _ = np.linalg.lstsq(a_mat, p_mat, rcond=None)
-    return flat2mat(homography[:, 0])
+    Ts, Td = _norm_T(src), _norm_T(dst)
+    sh = np.concatenate([src, np.ones((len(src), 1))], axis=1) @ Ts.T
+    dh = np.concatenate([dst, np.ones((len(dst), 1))], axis=1) @ Td.T
+    zeros = np.zeros_like(sh)
+    rows_u = np.concatenate([sh, zeros, -dh[:, :1] * sh], axis=1)
+    rows_v = np.concatenate([zeros, sh, -dh[:, 1:2] * sh], axis=1)
+    A = np.concatenate([rows_u, rows_v], axis=0)
+    _, _, Vt = np.linalg.svd(A)
+    Hn = Vt[-1].reshape(3, 3)
+    H = np.linalg.inv(Td) @ Hn @ Ts
+    return H / H[2, 2]
 
 
 # ---------------------------------------------------------------------------
