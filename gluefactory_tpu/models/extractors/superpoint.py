@@ -114,6 +114,13 @@ class SuperPoint(BaseModel):
         scores = scores.transpose(0, 1, 3, 2, 4).reshape(B, Hc * 8, Wc * 8)
 
         desc = self.desc_head1(self.desc_head0(x)).astype(jnp.float32)
+        # L2-normalize the dense map BEFORE bilinear sampling (reference
+        # `superpoint_open.py:133-135` normalizes dense, samples, then
+        # normalizes again) — interpolating unnormalized descriptors would
+        # weight the 4 corner cells by their norms.
+        desc = desc / jnp.maximum(
+            jnp.linalg.norm(desc, axis=-1, keepdims=True), 1e-12
+        )
 
         nms = simple_nms(scores, self.conf.nms_radius)
         nms = remove_borders(nms, self.conf.remove_borders)

@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.assignment import filter_matches, log_sinkhorn
+from ...ops.assignment import filter_matches, log_double_softmax
 from ...ops.attention import masked_attention
 from ..base_model import BaseModel
 from ..utils.losses import nll_loss
@@ -116,7 +116,10 @@ class GSLayer(nn.Module):
         x1 = line_layer(x1, lj1, lv1)
         x0n = cross_prop(x0, x1, mask1)
         x1n = cross_prop(x1, x0, mask0)
-        return (x0n, x1n, mask0, mask1, lj0, lj1, lv0, lv1), None
+        # per-layer features as scan outputs feed intermediate-layer line
+        # supervision (reference `gluestick.py:709,272-292`); jit DCEs them
+        # when unused (inference / inter_supervision off)
+        return (x0n, x1n, mask0, mask1, lj0, lj1, lv0, lv1), (x0n, x1n)
 
 
 class GlueStick(BaseModel):
@@ -125,11 +128,19 @@ class GlueStick(BaseModel):
         "descriptor_dim": 256,
         "n_layers": 9,
         "num_heads": 4,
-        "sinkhorn_iterations": 50,
         "filter_threshold": 0.2,
         "line_filter_threshold": 0.2,
         "dtype": "float32",  # "bfloat16": GNN compute on the MXU
-        "loss": {"nll_balancing": 0.5, "line_weight": 1.0},
+        # layer indices (into the L scan steps) with extra line supervision
+        # (reference `gluestick.py:38,96-107`; None = off)
+        "inter_supervision": None,
+        "loss": {
+            "nll_balancing": 0.5,
+            "nll_weight": 1.0,
+            "line_weight": 1.0,
+            # per-entry weights aligned with `inter_supervision`
+            "inter_supervision": (0.3, 0.6),
+        },
         "weights": None,
     }
     required_data_keys = (
@@ -156,7 +167,15 @@ class GlueStick(BaseModel):
             length=c.n_layers,
         )(D, c.num_heads, c.dtype, name="gnn")
         self.final_proj = nn.Dense(D, name="final_proj")
+        self.final_line_proj = nn.Dense(D, name="final_line_proj")
         self.bin_score = self.param("bin_score", nn.initializers.constant(1.0), ())
+        self.line_bin_score = self.param(
+            "line_bin_score", nn.initializers.constant(1.0), ()
+        )
+        inter = tuple(self.conf.inter_supervision or ())
+        self.inter_line_projs = [
+            nn.Dense(D, name=f"inter_line_proj{layer}") for layer in inter
+        ]
 
     def _forward(self, data: dict, train: bool = False) -> dict:
         c = self.conf
@@ -206,19 +225,22 @@ class GlueStick(BaseModel):
         x1 = x1 + jnp.einsum("bek,bed->bkd", oh1, lemb1)
 
         carry = (x0, x1, mask0, mask1, lj0, lj1, lv0, lv1)
-        (x0, x1, *_), _ = self.layers(carry, None)
+        (x0, x1, *_), inter_feats = self.layers(carry, None)
 
         d = c.descriptor_dim
         m0 = self.final_proj(x0)
         m1 = self.final_proj(x1)
         sim = jnp.einsum("bnd,bmd->bnm", m0, m1) / d**0.5
-        log_plan = log_sinkhorn(sim, self.bin_score, c.sinkhorn_iterations, mask0, mask1)
+        # learned-dustbin double softmax (reference `gluestick.py:248,772`)
+        log_plan = log_double_softmax(sim, self.bin_score, mask0, mask1)
         scores = log_plan[:, :-1, :-1]
         matches0, matches1, ms0, ms1 = filter_matches(scores, c.filter_threshold)
         matches0 = jnp.where(mask0, matches0, -1)
         matches1 = jnp.where(mask1, matches1, -1)
 
-        line_out = self._match_lines(scores, lj0, lj1, lv0, lv1)
+        line_out = self._match_lines(
+            x0, x1, lj0, lj1, lv0, lv1, self.final_line_proj
+        )
 
         pred = {
             "log_assignment": log_plan,
@@ -228,36 +250,48 @@ class GlueStick(BaseModel):
             "matching_scores1": jnp.where(mask1, ms1, 0.0),
             **line_out,
         }
+        # intermediate-layer line supervision heads (reference
+        # `gluestick.py:272-292`): match lines from intermediate GNN features
+        if train and self.conf.inter_supervision:
+            for layer, proj in zip(self.conf.inter_supervision, self.inter_line_projs):
+                ix0 = inter_feats[0][layer]
+                ix1 = inter_feats[1][layer]
+                lout = self._match_lines(ix0, ix1, lj0, lj1, lv0, lv1, proj)
+                for k, v in lout.items():
+                    pred[f"line_{layer}_{k[len('line_'):]}"] = v
         return pred
 
-    def _match_lines(self, scores, lj0, lj1, lv0, lv1):
-        """Line assignment from junction score pairs with direction max
-        (reference `_get_line_matches`, `gluestick.py:336-377`)."""
-        B, N, M = scores.shape
-        a0, b0 = lj0[:, :, 0], lj0[:, :, 1]  # (B, L0)
-        a1, b1 = lj1[:, :, 0], lj1[:, :, 1]  # (B, L1)
+    def _match_lines(self, x0, x1, lj0, lj1, lv0, lv1, proj):
+        """Line assignment from projected junction descriptors with direction
+        max and a learned line dustbin (reference `_get_line_matches`,
+        `gluestick.py:336-377`)."""
+        B, N = x0.shape[:2]
+        M = x1.shape[1]
+        L0, L1 = lj0.shape[1], lj1.shape[1]
 
-        def gather2(s, i, j):
-            # s: (B, N, M); i: (B, L0); j: (B, L1) -> (B, L0, L1)
-            si = jnp.take_along_axis(s, i[..., None].clip(0, N - 1), axis=1)
-            return jnp.take_along_axis(
-                si, j[:, None, :].clip(0, M - 1), axis=2
-            )
+        def endpoint_desc(x, lj, K):
+            # (B, L, 2, D) projected descriptors at the line endpoints
+            flat = lj.reshape(B, -1)  # (B, 2L)
+            g = jnp.take_along_axis(x, flat[..., None].clip(0, K - 1), axis=1)
+            p = proj(g)
+            return p.reshape(B, -1, 2, p.shape[-1])
 
-        s_aa = gather2(scores, a0, a1)
-        s_bb = gather2(scores, b0, b1)
-        s_ab = gather2(scores, a0, b1)
-        s_ba = gather2(scores, b0, a1)
-        line_scores = jnp.maximum(s_aa + s_bb, s_ab + s_ba) / 2.0  # (B, L0, L1)
-        pair_valid = lv0[:, :, None] & lv1[:, None, :]
-        line_scores = jnp.where(pair_valid, line_scores, -1e9)
+        e0 = endpoint_desc(x0, lj0, N)  # (B, L0, 2, D)
+        e1 = endpoint_desc(x1, lj1, M)  # (B, L1, 2, D)
+        d = e0.shape[-1]
+        sim = jnp.einsum("biad,bjcd->biajc", e0, e1) / d**0.5  # (B,L0,2,L1,2)
+        raw = 0.5 * jnp.maximum(
+            sim[:, :, 0, :, 0] + sim[:, :, 1, :, 1],
+            sim[:, :, 0, :, 1] + sim[:, :, 1, :, 0],
+        )  # (B, L0, L1)
+        line_la = log_double_softmax(raw, self.line_bin_score, lv0, lv1)
         lm0, lm1, lms0, lms1 = filter_matches(
-            line_scores, self.conf.line_filter_threshold
+            line_la[:, :-1, :-1], self.conf.line_filter_threshold
         )
         lm0 = jnp.where(lv0, lm0, -1)
         lm1 = jnp.where(lv1, lm1, -1)
         return {
-            "line_log_assignment": line_scores,
+            "line_log_assignment": line_la,
             "line_matches0": lm0,
             "line_matches1": lm1,
             "line_matching_scores0": jnp.where(lv0, lms0, 0.0),
@@ -265,8 +299,14 @@ class GlueStick(BaseModel):
         }
 
     def loss(self, pred: dict, data: dict):
-        out = nll_loss(pred["log_assignment"], data["gt_matches0"], data["gt_matches1"])
-        total = out["assignment_nll"]
+        balancing = float(self.conf.loss["nll_balancing"])
+        out = nll_loss(
+            pred["log_assignment"],
+            data["gt_matches0"],
+            data["gt_matches1"],
+            nll_balancing=balancing,
+        )
+        total = self.conf.loss["nll_weight"] * out["assignment_nll"]
         losses = {
             "assignment_nll": out["assignment_nll"],
             "nll_pos": out["nll_pos"],
@@ -275,18 +315,32 @@ class GlueStick(BaseModel):
             "num_unmatchable": out["num_unmatchable"],
         }
         if "gt_line_matches0" in data:
-            B, L0, L1 = pred["line_log_assignment"].shape
-            line_la = jnp.full((B, L0 + 1, L1 + 1), -1e9)
-            norm = jax.nn.log_softmax(pred["line_log_assignment"], axis=-1) + \
-                jax.nn.log_softmax(pred["line_log_assignment"], axis=-2)
-            line_la = line_la.at[:, :L0, :L1].set(norm / 2.0)
-            line_la = line_la.at[:, :L0, L1].set(jnp.log(1e-3))
-            line_la = line_la.at[:, L0, :L1].set(jnp.log(1e-3))
             lout = nll_loss(
-                line_la, data["gt_line_matches0"], data["gt_line_matches1"]
+                pred["line_log_assignment"],
+                data["gt_line_matches0"],
+                data["gt_line_matches1"],
+                nll_balancing=balancing,
             )
             losses["line_nll"] = lout["assignment_nll"]
             total = total + self.conf.loss["line_weight"] * lout["assignment_nll"]
+            # intermediate-layer supervision (reference `gluestick.py:378-440`)
+            if self.conf.inter_supervision:
+                for layer, w in zip(
+                    self.conf.inter_supervision, self.conf.loss["inter_supervision"]
+                ):
+                    key = f"line_{layer}_log_assignment"
+                    if key not in pred:
+                        continue
+                    iout = nll_loss(
+                        pred[key],
+                        data["gt_line_matches0"],
+                        data["gt_line_matches1"],
+                        nll_balancing=balancing,
+                    )
+                    losses[f"line_{layer}_nll"] = iout["assignment_nll"]
+                    total = total + self.conf.loss["line_weight"] * w * iout[
+                        "assignment_nll"
+                    ]
         losses["total"] = total
         metrics = matcher_metrics(pred, data)
         if "gt_line_matches0" in data:

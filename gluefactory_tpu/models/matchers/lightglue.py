@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ...ops.assignment import filter_matches, sigmoid_log_double_softmax
+from ...ops.assignment import filter_matches, sigmoid_log_double_softmax, with_dustbins
 from ...ops.attention import (
     apply_cached_rotary_emb,
     bidirectional_cross_attention,
@@ -178,10 +178,12 @@ class LGLayer(nn.Module):
         scores, z0, z1 = MatchAssignment(self.dim, name="log_assignment")(
             x0, x1, mask0, mask1, compute_scores=train_flag | is_last
         )
-        # one confidence head shared by both sets (reference `lightglue.py:69`)
+        # one confidence head shared by both sets (reference `lightglue.py:69`);
+        # descriptors are detached so the BCE never trains the transformer
+        # (reference TokenConfidence detaches, `lightglue.py:76-83`)
         conf_head = nn.Dense(1, name="token_confidence")
-        conf0 = jax.nn.sigmoid(conf_head(x0))[..., 0]
-        conf1 = jax.nn.sigmoid(conf_head(x1))[..., 0]
+        conf0 = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x0)))[..., 0]
+        conf1 = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x1)))[..., 0]
         if self.width_confidence > 0:
             # masked width pruning (reference `lightglue.py:506-521,560`):
             # confidently-unmatchable tokens stop participating. Static
@@ -302,70 +304,77 @@ class LightGlue(BaseModel):
             pred["all_log_assignment"] = per_layer["scores"]  # (L, B, N, M)
             pred["all_conf0"] = per_layer["conf0"]
             pred["all_conf1"] = per_layer["conf1"]
+            pred["all_z0"] = per_layer["z0"]  # (L, B, N) matchability logits
+            pred["all_z1"] = per_layer["z1"]
+            pred["keypoint_valid0"] = mask0
+            pred["keypoint_valid1"] = mask1
         return pred
 
     def loss(self, pred: dict, data: dict):
-        """Deep-supervised NLL + confidence BCE
-        (reference `lightglue.py:588-637`)."""
+        """Deep-supervised NLL + confidence BCE, numerics-exact vs the
+        reference (`lightglue.py:588-637`): per-layer full (N+1)x(M+1)
+        log-assignments with log_sigmoid(-z) dustbins, gamma layer weights
+        normalized by their sum, detached confidence BCE with
+        dustbin-inclusive argmax targets."""
         c = self.conf
         L = c.n_layers
         all_scores = pred["all_log_assignment"]  # (L, B, N, M)
         gt0 = data["gt_matches0"]
         gt1 = data["gt_matches1"]
+        mask0 = pred.get("keypoint_valid0")
+        mask1 = pred.get("keypoint_valid1")
+        balancing = float(c.loss["nll_balancing"])
 
-        def layer_nll(scores):
-            # append virtual dustbin row/col from the matchability formulation:
-            # unmatched log-prob is log(1 - sigmoid(z)) terms already inside the
-            # score; for NLL use log1m of row/col sums as the dustbin proxy
-            B, N, M = scores.shape
-            row_rest = jnp.log(
-                jnp.clip(1.0 - jnp.sum(jnp.exp(scores), axis=-1), 1e-9, 1.0)
-            )
-            col_rest = jnp.log(
-                jnp.clip(1.0 - jnp.sum(jnp.exp(scores), axis=-2), 1e-9, 1.0)
-            )
-            la = jnp.full((B, N + 1, M + 1), -jnp.inf, scores.dtype)
-            la = la.at[:, :N, :M].set(scores)
-            la = la.at[:, :N, M].set(row_rest)
-            la = la.at[:, N, :M].set(col_rest)
-            out = nll_loss(la, gt0, gt1)
+        def layer_nll(scores, z0, z1):
+            la = with_dustbins(scores, z0, z1, mask0, mask1)
+            out = nll_loss(la, gt0, gt1, nll_balancing=balancing)
             return out["assignment_nll"], out
 
-        nlls, _ = jax.vmap(layer_nll)(all_scores)  # (L, B)
-        gamma = c.loss["gamma"]
-        weights = jnp.asarray([gamma ** (L - 1 - i) for i in range(L)])
+        nlls, per_layer = jax.vmap(layer_nll)(
+            all_scores, pred["all_z0"], pred["all_z1"]
+        )  # (L, B)
+        gamma = float(c.loss["gamma"])
+        if gamma > 0:
+            weights = jnp.asarray([gamma ** (L - 1 - i) for i in range(L)])
+        else:
+            # reference fallback: linearly increasing depth weights, last = 1
+            weights = jnp.asarray([float(i + 1) for i in range(L - 1)] + [1.0])
         weights = weights / jnp.sum(weights)
         nll = jnp.sum(nlls * weights[:, None], axis=0)  # (B,)
 
         losses = {"total": nll, "assignment_nll": nll}
-        _, last = layer_nll(all_scores[-1])
-        losses["nll_pos"] = last["nll_pos"]
-        losses["nll_neg"] = last["nll_neg"]
-        losses["num_matchable"] = last["num_matchable"]
-        losses["num_unmatchable"] = last["num_unmatchable"]
+        for k in ("nll_pos", "nll_neg", "num_matchable", "num_unmatchable"):
+            losses[k] = per_layer[k][-1]
 
         if c.loss["confidence_weight"] > 0 and "all_conf0" in pred:
             # per-layer token confidence predicts whether the layer's match
-            # agrees with the final layer's (reference `lightglue.py:620-633`)
-            final0 = jnp.argmax(all_scores[-1], axis=-1)  # (B, N)
-            final1 = jnp.argmax(all_scores[-1], axis=-2)
+            # (incl. the dustbin option) agrees with the final layer's
+            # (reference `lightglue.py:81-94,620-633`); everything detached.
+            def full_argmax(scores, z0, z1):
+                la = with_dustbins(scores, z0, z1, mask0, mask1)
+                return jnp.argmax(la[:, :-1, :], -1), jnp.argmax(la[:, :, :-1], -2)
 
-            def conf_bce(scores, conf0, conf1):
-                now0 = jnp.argmax(scores, axis=-1)
-                now1 = jnp.argmax(scores, axis=-2)
-                t0 = (now0 == final0).astype(scores.dtype)
-                t1 = (now1 == final1).astype(scores.dtype)
+            allm0, allm1 = jax.vmap(full_argmax)(
+                jax.lax.stop_gradient(all_scores),
+                jax.lax.stop_gradient(pred["all_z0"]),
+                jax.lax.stop_gradient(pred["all_z1"]),
+            )  # (L, B, N), (L, B, M)
+
+            def conf_bce(now0, now1, conf0, conf1):
+                t0 = (now0 == allm0[-1]).astype(jnp.float32)
+                t1 = (now1 == allm1[-1]).astype(jnp.float32)
                 eps = 1e-6
                 b0 = -(t0 * jnp.log(conf0 + eps) + (1 - t0) * jnp.log(1 - conf0 + eps))
                 b1 = -(t1 * jnp.log(conf1 + eps) + (1 - t1) * jnp.log(1 - conf1 + eps))
-                valid0 = gt0 >= -1
-                valid1 = gt1 >= -1
-                s0 = jnp.sum(b0 * valid0, -1) / jnp.maximum(jnp.sum(valid0, -1), 1)
-                s1 = jnp.sum(b1 * valid1, -1) / jnp.maximum(jnp.sum(valid1, -1), 1)
+                if mask0 is not None:
+                    s0 = jnp.sum(b0 * mask0, -1) / jnp.maximum(jnp.sum(mask0, -1), 1)
+                    s1 = jnp.sum(b1 * mask1, -1) / jnp.maximum(jnp.sum(mask1, -1), 1)
+                else:
+                    s0, s1 = jnp.mean(b0, -1), jnp.mean(b1, -1)
                 return 0.5 * (s0 + s1)
 
             conf_losses = jax.vmap(conf_bce)(
-                all_scores[:-1], pred["all_conf0"][:-1], pred["all_conf1"][:-1]
+                allm0[:-1], allm1[:-1], pred["all_conf0"][:-1], pred["all_conf1"][:-1]
             )  # (L-1, B)
             conf_loss = jnp.mean(conf_losses, axis=0)
             losses["confidence"] = conf_loss

@@ -49,6 +49,74 @@ def sigmoid_log_double_softmax(
     return jnp.where(pair_mask, scores, MASKED)
 
 
+def with_dustbins(
+    scores: jnp.ndarray,
+    z0: jnp.ndarray,
+    z1: jnp.ndarray,
+    mask0: jnp.ndarray | None = None,
+    mask1: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Extend an inner (B, N, M) log-assignment to the full (B, N+1, M+1)
+    matrix of the matchability formulation (reference `lightglue.py:265-268`):
+    dustbin row/col entries are log_sigmoid(-z), the corner stays 0.
+
+    Padded rows/cols get MASKED dustbins so they contribute nothing to a
+    masked NLL.
+    """
+    B, N, M = scores.shape
+    bin0 = jax.nn.log_sigmoid(-z0)  # (B, N)
+    bin1 = jax.nn.log_sigmoid(-z1)  # (B, M)
+    if mask0 is not None:
+        bin0 = jnp.where(mask0, bin0, MASKED)
+    if mask1 is not None:
+        bin1 = jnp.where(mask1, bin1, MASKED)
+    la = jnp.zeros((B, N + 1, M + 1), scores.dtype)
+    la = la.at[:, :N, :M].set(scores)
+    la = la.at[:, :N, M].set(bin0)
+    la = la.at[:, N, :M].set(bin1)
+    return la
+
+
+def log_double_softmax(
+    scores: jnp.ndarray,
+    bin_score: jnp.ndarray,
+    mask0: jnp.ndarray | None = None,
+    mask1: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Two-sided softmax with a learned scalar dustbin (GlueStick's point
+    assignment, reference `gluestick.py:772-785`): each side's softmax runs
+    over its row/col plus the dustbin; inner block is the average of the two
+    sides, dustbin entries come from their own side.
+
+    scores: (B, N, M); bin_score: learned scalar.
+    Returns the (B, N+1, M+1) log-assignment (corner = 0, as the reference).
+    """
+    B, N, M = scores.shape
+    if mask0 is not None and mask1 is not None:
+        pair_mask = mask0[..., :, None] & mask1[..., None, :]
+        scores = jnp.where(pair_mask, scores, MASKED)
+    b = jnp.broadcast_to(bin_score, (B, 1, 1)).astype(scores.dtype)
+    with_col_bin = jnp.concatenate(
+        [scores, jnp.broadcast_to(b, (B, N, 1))], axis=2
+    )  # (B, N, M+1)
+    with_row_bin = jnp.concatenate(
+        [scores, jnp.broadcast_to(b, (B, 1, M))], axis=1
+    )  # (B, N+1, M)
+    s0 = jax.nn.log_softmax(with_col_bin, axis=2)
+    s1 = jax.nn.log_softmax(with_row_bin, axis=1)
+    la = jnp.zeros((B, N + 1, M + 1), scores.dtype)
+    la = la.at[:, :N, :M].set((s0[:, :, :M] + s1[:, :N, :]) / 2.0)
+    bin0 = s0[:, :, M]
+    bin1 = s1[:, N, :]
+    if mask0 is not None:
+        bin0 = jnp.where(mask0, bin0, MASKED)
+    if mask1 is not None:
+        bin1 = jnp.where(mask1, bin1, MASKED)
+    la = la.at[:, :N, M].set(bin0)
+    la = la.at[:, N, :M].set(bin1)
+    return la
+
+
 def log_sinkhorn(
     scores: jnp.ndarray,
     alpha: jnp.ndarray,

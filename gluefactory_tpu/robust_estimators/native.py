@@ -30,7 +30,10 @@ def get_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not _LIB_PATH.exists():
+    src = _NATIVE_DIR / "lo_ransac.cpp"
+    # always build from source when the binary is missing or older than the
+    # source — a stale committed .so must never shadow source changes
+    if not _LIB_PATH.exists() or _LIB_PATH.stat().st_mtime < src.stat().st_mtime:
         _build()
     lib = ctypes.CDLL(str(_LIB_PATH))
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

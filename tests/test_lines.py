@@ -62,7 +62,7 @@ def test_wireframe_and_gluestick_end_to_end():
             "n_layers": 2,
             "descriptor_dim": 64,
             "input_dim": 256,
-            "sinkhorn_iterations": 10,
+            "inter_supervision": [0],
         },
         "ground_truth": {"name": "homography_matcher", "use_lines": True},
     }
