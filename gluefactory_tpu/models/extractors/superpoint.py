@@ -33,7 +33,19 @@ __main_class__ = "SuperPoint"
 
 
 class VGGBlock(nn.Module):
-    """conv3x3 + norm + ReLU (reference `superpoint_open.py:61-77`)."""
+    """conv3x3 + norm + ReLU (reference `superpoint_open.py:61-77`).
+
+    Norm modes:
+      - "none": plain conv+relu (MagicLeap official checkpoints, BN-free).
+      - "group": GroupNorm before relu (from-scratch training; no cross-device
+        stat sync needed).
+      - "affine": per-channel scale+bias AFTER relu. The rpautrat "open"
+        SuperPoint's VGGBlock is conv -> relu -> BatchNorm
+        (`superpoint_open.py:61-77`): the BN sits after the nonlinearity, so
+        it cannot be folded into the conv exactly (padding zeros at image
+        borders are not BN-shifted). An eval-mode BN is exactly a per-channel
+        affine, which XLA fuses into the conv epilogue for free.
+    """
 
     out_ch: int
     norm: str = "none"
@@ -50,6 +62,10 @@ class VGGBlock(nn.Module):
         if self.norm == "group":
             x = nn.GroupNorm(num_groups=min(32, self.out_ch), dtype=dt, name="norm")(x)
         x = nn.relu(x)
+        if self.norm == "affine":
+            s = self.param("post_scale", nn.initializers.ones, (self.out_ch,))
+            b = self.param("post_bias", nn.initializers.zeros, (self.out_ch,))
+            x = x * s.astype(x.dtype) + b.astype(x.dtype)
         return x
 
 

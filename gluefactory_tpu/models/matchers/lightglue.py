@@ -77,8 +77,9 @@ class SelfBlock(nn.Module):
         msg = nn.Dense(D, dtype=dt, name="out_proj")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
         y = nn.Dense(2 * D, dtype=dt, name="ffn0")(y)
-        y = nn.LayerNorm(dtype=dt, name="ffn_norm")(y)
-        y = nn.gelu(y)
+        # torch parity: LayerNorm eps=1e-5, exact-erf GELU
+        y = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")(y)
+        y = nn.gelu(y, approximate=False)
         y = nn.Dense(D, dtype=dt, name="ffn1")(y)
         return (x + y).astype(jnp.float32)
 
@@ -109,12 +110,12 @@ class CrossBlock(nn.Module):
         m0 = out_proj(m0.transpose(0, 2, 1, 3).reshape(B, -1, D).astype(dt))
         m1 = out_proj(m1.transpose(0, 2, 1, 3).reshape(B, -1, D).astype(dt))
         ffn0 = nn.Dense(2 * D, dtype=dt, name="ffn0")
-        ffn_norm = nn.LayerNorm(dtype=dt, name="ffn_norm")
+        ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")
         ffn1 = nn.Dense(D, dtype=dt, name="ffn1")
 
         def ffn(x, m):
             y = jnp.concatenate([x, m], axis=-1)
-            return x + ffn1(nn.gelu(ffn_norm(ffn0(y))))
+            return x + ffn1(nn.gelu(ffn_norm(ffn0(y)), approximate=False))
 
         return ffn(x0, m0).astype(jnp.float32), ffn(x1, m1).astype(jnp.float32)
 

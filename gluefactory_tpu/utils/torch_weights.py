@@ -105,16 +105,56 @@ def convert_superpoint(sd: dict) -> dict:
     return {"params": params}
 
 
-def convert_superpoint_open(sd: dict) -> dict:
-    """rpautrat open SuperPoint (BN after each conv) -> flax params, BN folded.
+def _bn_affine(sd, bn, eps=1e-3):
+    """Eval-mode BatchNorm as a per-channel (scale, bias) affine.
 
-    Expects names like `backbone.backbone.{i}.{j}.conv.weight` + `.bn.*` or
-    classic `convX/bnX` pairs; handles both layouts.
+    The rpautrat VGGBlock order is conv -> relu -> BN
+    (`superpoint_open.py:61-77`, eps=0.001): BN after the nonlinearity cannot
+    be folded into the conv, so it becomes the flax block's post-relu affine
+    (`models/extractors/superpoint.py` norm="affine")."""
+    gamma = sd[f"{bn}.weight"]
+    beta = sd[f"{bn}.bias"]
+    mean = sd[f"{bn}.running_mean"]
+    var = sd[f"{bn}.running_var"]
+    scale = gamma / np.sqrt(var + eps)
+    return scale.astype(np.float32), (beta - mean * scale).astype(np.float32)
+
+
+def convert_superpoint_open(sd: dict) -> dict:
+    """rpautrat open SuperPoint -> flax params for conf.norm='affine'.
+
+    Official layout (`superpoint_open.py:80-124`): `backbone.{i}.{j}.conv.*`
+    + `.bn.*` VGGBlocks (conv->relu->BN), `detector.{0,1}.*`,
+    `descriptor.{0,1}.*`. The relu'd blocks keep BN as a post-relu affine;
+    the relu-free head blocks (`detector.1`, `descriptor.1`) fold BN into the
+    conv exactly (no nonlinearity in between, eps=0.001).
+    Also accepts classic magicleap-style `convXy`/`bnXy` naming.
     """
+    def conv_affine(conv, bn):
+        out = {"conv": t_conv(sd, conv)}
+        if f"{bn}.running_mean" in sd:
+            s, b = _bn_affine(sd, bn)
+            out["post_scale"] = s
+            out["post_bias"] = b
+        return out
+
     def conv_bn(conv, bn):
         if f"{bn}.running_mean" in sd:
-            return fold_bn_conv(sd, conv, bn)
+            return fold_bn_conv(sd, conv, bn, eps=1e-3)
         return t_conv(sd, conv)
+
+    if "backbone.0.0.conv.weight" in sd:  # official rpautrat layout
+        params = {}
+        for i in range(4):
+            for j in range(2):
+                params[f"b{i}_{j}"] = conv_affine(
+                    f"backbone.{i}.{j}.conv", f"backbone.{i}.{j}.bn"
+                )
+        params["det0"] = conv_affine("detector.0.conv", "detector.0.bn")
+        params["det1"] = conv_bn("detector.1.conv", "detector.1.bn")
+        params["desc0"] = conv_affine("descriptor.0.conv", "descriptor.0.bn")
+        params["desc1"] = conv_bn("descriptor.1.conv", "descriptor.1.bn")
+        return {"params": params}
 
     if "conv1a.weight" in sd:  # magicleap-style names with bn
         pairs = [
@@ -139,12 +179,14 @@ def convert_superpoint_open(sd: dict) -> dict:
 # LightGlue
 # ---------------------------------------------------------------------------
 
-# the reference's official-weight rename map (`lightglue.py:395-400`)
+# the reference's official-weight rename map (`lightglue.py:395-400`), plus
+# the current module naming (`cross_attn.to_out`, `lightglue.py:180`)
 _LG_RENAMES = [
     ("self_attn.prj", "self_attn.Wqkv"),
     ("attn.proj", "attn.out_proj"),
     ("self_attn.merge", "self_attn.out_proj"),
     ("cross_attn.merge", "cross_attn.out_proj"),
+    ("cross_attn.to_out", "cross_attn.out_proj"),
     ("transformers.", "transformers."),
 ]
 
@@ -163,8 +205,19 @@ def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
         per_layer = [fn(i) for i in range(n_layers)]
         return _stack_trees(per_layer)
 
+    if "input_proj.weight" in sd:
+        input_proj = t_linear(sd, "input_proj")
+    else:
+        # input_dim == descriptor_dim -> the reference uses nn.Identity
+        # (`lightglue.py:354-357`); our module always projects, so synthesize
+        # the identity Dense
+        D = sd["transformers.0.self_attn.Wqkv.weight"].shape[1]
+        input_proj = {
+            "kernel": np.eye(D, dtype=np.float32),
+            "bias": np.zeros(D, np.float32),
+        }
     params = {
-        "input_proj": t_linear(sd, "input_proj"),
+        "input_proj": input_proj,
         "posenc_freqs": np.ascontiguousarray(sd["posenc.Wr.weight"].T),
         "layers": stack(lambda i: _lg_layer(sd, i, n_layers)),
     }
