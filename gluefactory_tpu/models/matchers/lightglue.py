@@ -20,6 +20,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -144,11 +145,13 @@ class MatchAssignment(nn.Module):
             sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1)
             return sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
 
-        if compute_scores is None:
+        B, N = x0.shape[:2]
+        M = x1.shape[1]
+        if compute_scores is None or compute_scores is True:
             scores = heavy(None)
+        elif compute_scores is False:  # static skip (adaptive-depth body)
+            scores = jnp.full((B, N, M), -1e9, mdesc0.dtype)
         else:
-            B, N = x0.shape[:2]
-            M = x1.shape[1]
             scores = jax.lax.cond(
                 compute_scores,
                 heavy,
@@ -167,7 +170,8 @@ class LGLayer(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, carry, is_last):
+    def __call__(self, carry, xs):
+        is_last, conf_th = xs
         x0, x1, enc0, enc1, mask0, mask1, train_flag = carry
         self_block = SelfBlock(self.dim, self.num_heads, self.dtype, name="self_attn")
         cross_block = CrossBlock(self.dim, self.num_heads, self.dtype, name="cross_attn")
@@ -176,8 +180,13 @@ class LGLayer(nn.Module):
         x0, x1 = cross_block(x0, x1, mask0, mask1)
         # per-layer heads; the heavy assignment only for training (deep
         # supervision) or the last layer (inference)
+        compute = (
+            is_last
+            if isinstance(is_last, bool)
+            else (train_flag | is_last)
+        )
         scores, z0, z1 = MatchAssignment(self.dim, name="log_assignment")(
-            x0, x1, mask0, mask1, compute_scores=train_flag | is_last
+            x0, x1, mask0, mask1, compute_scores=compute
         )
         # one confidence head shared by both sets (reference `lightglue.py:69`);
         # descriptors are detached so the BCE never trains the transformer
@@ -186,14 +195,16 @@ class LGLayer(nn.Module):
         conf0 = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x0)))[..., 0]
         conf1 = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x1)))[..., 0]
         if self.width_confidence > 0:
-            # masked width pruning (reference `lightglue.py:506-521,560`):
-            # confidently-unmatchable tokens stop participating. Static
-            # shapes: pruning = masking, not index_select. Branchless on the
-            # (traced) train flag: no pruning during training.
+            # masked width pruning (reference `get_pruning_mask`,
+            # `lightglue.py:560-566`): keep tokens that look matchable
+            # (matchability > 1 - width_confidence) or are still undecided
+            # (confidence below this layer's threshold). Static shapes:
+            # pruning = masking, not index_select. Branchless on the (traced)
+            # train flag: no pruning during training.
             def prune(conf, z, mask):
-                matchable = jax.nn.sigmoid(z) > 0.01
-                keep = (conf <= self.width_confidence) | matchable
-                return mask & (keep | train_flag)
+                matchable = jax.nn.sigmoid(z) > (1.0 - self.width_confidence)
+                undecided = conf <= conf_th
+                return mask & (matchable | undecided | train_flag)
 
             mask0 = prune(conf0, z0, mask0)
             mask1 = prune(conf1, z1, mask1)
@@ -263,9 +274,21 @@ class LightGlue(BaseModel):
         enc1 = rotary_emb_2d(p1, self.posenc_freqs)
 
         L = c.n_layers
+        # per-layer confidence thresholds (reference `confidence_threshold`,
+        # `lightglue.py:556-558`)
+        conf_ths = jnp.asarray(
+            [min(0.8 + 0.1 * math.exp(-4.0 * i / L), 1.0) for i in range(L)],
+            jnp.float32,
+        )
+
+        if not train and c.depth_confidence > 0:
+            return self._forward_adaptive_depth(
+                x0, x1, enc0, enc1, mask0, mask1, conf_ths
+            )
+
         is_last = jnp.arange(L) == (L - 1)
         carry = (x0, x1, enc0, enc1, mask0, mask1, jnp.asarray(train))
-        carry, per_layer = self.layers(carry, is_last)
+        carry, per_layer = self.layers(carry, (is_last, conf_ths))
         x0, x1 = carry[0], carry[1]
 
         # final-layer assignment comes from the scanned per-layer heads
@@ -281,26 +304,6 @@ class LightGlue(BaseModel):
             "matching_scores0": jnp.where(mask0, ms0, 0.0),
             "matching_scores1": jnp.where(mask1, ms1, 0.0),
         }
-        if not train and c.depth_confidence > 0:
-            # adaptive-depth diagnostic (reference `check_if_stop`,
-            # `lightglue.py:555-569`): the first layer whose token confidences
-            # clear the threshold for >=95% of valid tokens. Reported as
-            # `stop_layers` (B,); actual compute still runs all layers (an
-            # early-exit `lax.while_loop` over sliced scan params is a
-            # planned optimization).
-            conf_all = jnp.concatenate(
-                [per_layer["conf0"], per_layer["conf1"]], axis=-1
-            )  # (L, B, N+M)
-            valid_all = jnp.concatenate([mask0, mask1], axis=-1)[None]
-            frac = jnp.sum(
-                (conf_all > c.depth_confidence) & valid_all, axis=-1
-            ) / jnp.maximum(jnp.sum(valid_all, axis=-1), 1)  # (L, B)
-            would_stop = frac > 0.95
-            stop_layer = jnp.argmax(would_stop, axis=0)  # first True, else 0
-            any_stop = jnp.any(would_stop, axis=0)
-            pred["stop_layers"] = jnp.where(
-                any_stop, stop_layer + 1, c.n_layers
-            ).astype(jnp.int32)
         if train:
             pred["all_log_assignment"] = per_layer["scores"]  # (L, B, N, M)
             pred["all_conf0"] = per_layer["conf0"]
@@ -310,6 +313,88 @@ class LightGlue(BaseModel):
             pred["keypoint_valid0"] = mask0
             pred["keypoint_valid1"] = mask1
         return pred
+
+    @nn.nowrap
+    def _forward_adaptive_depth(self, x0, x1, enc0, enc1, mask0, mask1, conf_ths):
+        """Inference-only adaptive depth that actually SKIPS layers
+        (reference `lightglue.py:500-521,569`): a `lax.while_loop` whose body
+        applies one transformer layer with params dynamically sliced from the
+        (L, ...) scan stack, exiting as soon as the whole batch clears the
+        reference stop criterion (ratio of confident tokens >
+        `depth_confidence`, per-layer thresholds). The assignment head of the
+        exit layer produces the scores, exactly like the reference's
+        `log_assignment[i]`.
+
+        TPU notes: one compiled layer body regardless of exit layer; the
+        per-iteration param gather is ~MBs from HBM, negligible next to the
+        layer compute. The stop check is a scalar reduction riding the same
+        program - no extra host round-trips.
+        """
+        c = self.conf
+        L = c.n_layers
+        lparams = self.layers.variables["params"]  # stacked (L, ...) trees
+        layer_mod = LGLayer(
+            c.descriptor_dim,
+            c.num_heads,
+            float(c.width_confidence),
+            c.dtype,
+            parent=None,  # standalone template, applied with sliced params
+        )
+        valid = jnp.concatenate([mask0, mask1], axis=-1)  # (B, N+M)
+        num_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+
+        def slice_layer(tree, i):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.dynamic_index_in_dim(a, i, 0, keepdims=False),
+                tree,
+            )
+
+        def cond_fn(state):
+            i, stop, *_ = state
+            return (i < L) & ~stop
+
+        def body_fn(state):
+            i, _, x0, x1, m0, m1 = state
+            p_i = slice_layer(lparams, i)
+            carry = (x0, x1, enc0, enc1, m0, m1, jnp.asarray(False))
+            (x0n, x1n, _, _, m0n, m1n, _), out = layer_mod.apply(
+                {"params": p_i}, carry, (False, conf_ths[i])
+            )
+            conf = jnp.concatenate([out["conf0"], out["conf1"]], axis=-1)
+            # unconfident tokens among the currently-kept set, over the
+            # original token count (reference `check_if_stop` with
+            # num_points = m + n, `lightglue.py:569-577`)
+            kept = jnp.concatenate([m0, m1], axis=-1)
+            ratio = 1.0 - jnp.sum(
+                (conf < conf_ths[i]) & kept, axis=-1
+            ) / num_valid  # (B,)
+            # never stop before the last layer's check; all pairs must agree
+            stop = jnp.all(ratio > c.depth_confidence) & (i < L - 1)
+            return (i + 1, stop, x0n, x1n, m0n, m1n)
+
+        init = (jnp.int32(0), jnp.asarray(False), x0, x1, mask0, mask1)
+        i_end, _, x0, x1, mask0p, mask1p = jax.lax.while_loop(
+            cond_fn, body_fn, init
+        )
+
+        head = MatchAssignment(c.descriptor_dim, parent=None)
+        p_head = slice_layer(lparams["log_assignment"], i_end - 1)
+        scores, _, _ = head.apply(
+            {"params": p_head}, x0, x1, mask0p, mask1p, compute_scores=True
+        )
+        m0, m1, ms0, ms1 = filter_matches(scores, c.filter_threshold)
+        m0 = jnp.where(mask0, m0, -1)
+        m1 = jnp.where(mask1, m1, -1)
+        return {
+            "log_assignment": scores,
+            "matches0": m0,
+            "matches1": m1,
+            "matching_scores0": jnp.where(mask0, ms0, 0.0),
+            "matching_scores1": jnp.where(mask1, ms1, 0.0),
+            "stop_layers": jnp.broadcast_to(i_end, mask0.shape[:1]).astype(
+                jnp.int32
+            ),
+        }
 
     def loss(self, pred: dict, data: dict):
         """Deep-supervised NLL + confidence BCE, numerics-exact vs the

@@ -127,6 +127,109 @@ def test_lightglue_forward_parity(ref):
     )
 
 
+def test_lightglue_adaptive_depth_parity(ref):
+    """Early-exit parity: with the token-confidence heads biased to saturate,
+    both implementations must stop after layer 1 and score with that layer's
+    assignment head (reference `lightglue.py:512-517,569-577`)."""
+    import torch
+
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.utils.torch_weights import convert_lightglue
+
+    L = 5
+    torch.manual_seed(7)
+    ref_model = ref["lightglue"].LightGlue(
+        {
+            "weights": None,
+            "n_layers": L,
+            "checkpointed": False,
+            "flash": False,
+            "depth_confidence": 0.95,
+            "width_confidence": -1,
+            "filter_threshold": 0.1,
+        }
+    ).eval()
+    # saturate every confidence head -> guaranteed stop at the first check
+    with torch.no_grad():
+        for tc in ref_model.token_confidence:
+            tc.token[0].bias.fill_(10.0)
+
+    rng = np.random.RandomState(5)
+    B, N, M = 1, 32, 24  # reference asserts B == 1 for early stop
+    wh = np.asarray([640.0, 480.0], np.float32)
+    k0 = (rng.rand(B, N, 2) * wh).astype(np.float32)
+    k1 = (rng.rand(B, M, 2) * wh).astype(np.float32)
+    d0 = _rand_unit(rng, B, N, 256)
+    d1 = _rand_unit(rng, B, M, 256)
+    size = np.tile(wh[None], (B, 1))
+
+    # the reference's eval early-exit crashes building `ref_descriptors0`
+    # (torch.stack of an empty list, `lightglue.py:546` — all_desc is only
+    # filled when training or at the last layer); shim the empty case so the
+    # rest of the reference path can be compared against
+    orig_stack = torch.stack
+
+    def safe_stack(ts, dim=0, **kw):
+        if isinstance(ts, (list, tuple)) and len(ts) == 0:
+            return torch.zeros(0)
+        return orig_stack(ts, dim, **kw)
+
+    from unittest import mock
+
+    with torch.no_grad(), mock.patch.object(torch, "stack", safe_stack):
+        ref_pred = ref_model(
+            {
+                "keypoints0": torch.from_numpy(k0),
+                "keypoints1": torch.from_numpy(k1),
+                "descriptors0": torch.from_numpy(d0),
+                "descriptors1": torch.from_numpy(d1),
+                "view0": {"image_size": torch.from_numpy(size)},
+                "view1": {"image_size": torch.from_numpy(size)},
+            }
+        )
+
+    sd = {k: v.numpy() for k, v in ref_model.state_dict().items()}
+    variables = convert_lightglue(sd, n_layers=L)
+    jax_model = get_model("lightglue").from_conf(
+        {"n_layers": L, "filter_threshold": 0.1, "depth_confidence": 0.95}
+    )
+    data = {
+        "keypoints0": jnp.asarray(k0),
+        "keypoints1": jnp.asarray(k1),
+        "descriptors0": jnp.asarray(d0),
+        "descriptors1": jnp.asarray(d1),
+        "view0": {"image_size": jnp.asarray(size)},
+        "view1": {"image_size": jnp.asarray(size)},
+    }
+    pred = jax_model.apply({"params": variables["params"]}, data)
+
+    assert int(pred["stop_layers"][0]) == 1  # exited after the first layer
+    la_ref = ref_pred["log_assignment"].numpy()
+    np.testing.assert_allclose(
+        np.asarray(pred["log_assignment"]), la_ref[:, :N, :M], atol=2e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(pred["matches0"]), ref_pred["matches0"].numpy()
+    )
+
+    # and with an unreachable stop ratio the adaptive path must equal the
+    # full scan path exactly
+    jax_full = get_model("lightglue").from_conf(
+        {"n_layers": L, "filter_threshold": 0.1}
+    )
+    pred_full = jax_full.apply({"params": variables["params"]}, data)
+    jax_never = get_model("lightglue").from_conf(
+        {"n_layers": L, "filter_threshold": 0.1, "depth_confidence": 2.0}
+    )
+    pred_never = jax_never.apply({"params": variables["params"]}, data)
+    assert int(pred_never["stop_layers"][0]) == L
+    np.testing.assert_allclose(
+        np.asarray(pred_never["log_assignment"]),
+        np.asarray(pred_full["log_assignment"]),
+        atol=1e-5,
+    )
+
+
 # ---------------------------------------------------------------------------
 # SuperPoint (rpautrat open)
 # ---------------------------------------------------------------------------
