@@ -20,7 +20,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..geometry.epipolar import decompose_essential_matrix, sym_epipolar_distance_all
+from ..geometry.epipolar import decompose_essential_matrix
 from ..geometry.homography import compute_homography_dlt, sym_homography_error
 
 
@@ -168,6 +168,76 @@ def _triangulate_midpoint(R, t, p0, p1):
     return z0, z1
 
 
+def _sampson_error(E, p0, p1):
+    """First-order (Sampson) epipolar error of matched pairs. E: (3, 3)."""
+    ones = jnp.ones_like(p0[..., :1])
+    p0h = jnp.concatenate([p0, ones], -1)
+    p1h = jnp.concatenate([p1, ones], -1)
+    Ep0 = p0h @ E.T  # (N, 3)
+    Etp1 = p1h @ E
+    num = jnp.sum(p1h * Ep0, axis=-1)
+    den = Ep0[..., 0] ** 2 + Ep0[..., 1] ** 2 + Etp1[..., 0] ** 2 + Etp1[..., 1] ** 2
+    return num / jnp.sqrt(jnp.maximum(den, 1e-15))
+
+
+def refine_pose_gn(R0, t0, p0, p1, validf, th2, iters: int = 8):
+    """Local optimization on the pose manifold (PoseLib-parity LO).
+
+    Gauss-Newton on the 5-DOF parametrization (so3 tangent of R, 2-dim
+    tangent of the unit translation), minimizing MSAC-truncated Sampson
+    error. This is the correct LO for essential matrices: a *linear* refit
+    (weighted 8-point) is rank-deficient on planar scenes and can replace a
+    good minimal-solver pose with a degenerate one, whereas the manifold
+    parametrization cannot leave the space of valid poses.
+
+    Returns (R, t, E) refined.
+    """
+    # tangent basis of the unit translation t0: two vectors orthogonal to t0
+    a = jnp.where(jnp.abs(t0[0]) < 0.9, jnp.array([1.0, 0.0, 0.0], t0.dtype),
+                  jnp.array([0.0, 1.0, 0.0], t0.dtype))
+    b1 = jnp.cross(t0, a)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t0, b1)
+    Bt = jnp.stack([b1, b2], axis=-1)  # (3, 2)
+
+    from ..geometry.utils import so3exp_map, skew_symmetric
+
+    def pose_of(params):
+        R = R0 @ so3exp_map(params[:3])
+        t = t0 + Bt @ params[3:]
+        t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+        return R, t
+
+    def resid(params):
+        R, t = pose_of(params)
+        E = skew_symmetric(t) @ R
+        return _sampson_error(E, p0, p1)
+
+    def step(params, _):
+        r = resid(params)
+        w = jnp.maximum(0.0, 1.0 - (r * r) / th2) * validf  # MSAC weights
+        J = jax.jacfwd(resid)(params)  # (N, 5)
+        JtW = J.T * w[None]
+        A = JtW @ J
+        g = JtW @ r
+        A = A + 1e-8 * jnp.trace(A) * jnp.eye(5, dtype=A.dtype)
+        delta = jnp.linalg.solve(A, g)
+        new = params - delta
+        # keep the step only if the truncated objective improves
+        def obj(p):
+            rr = resid(p) ** 2
+            return jnp.sum(jnp.minimum(rr, th2) * validf)
+
+        better = obj(new) < obj(params)
+        return jnp.where(better, new, params), None
+
+    params0 = jnp.zeros(5, p0.dtype)
+    params, _ = jax.lax.scan(step, params0, None, length=iters)
+    R, t = pose_of(params)
+    E = skew_symmetric(t) @ R
+    return R, t, E
+
+
 def pose_from_essential(E, p0, p1, weights):
     """Choose (R, t) among the 4 decompositions of E by weighted cheirality."""
     R1, R2, t = decompose_essential_matrix(E)
@@ -192,6 +262,7 @@ def ransac_essential(
     num_hyps: int = 1024,
     lo_iters: int = 3,
     min_matches: int = 8,
+    solver: str = "5pt",
 ):
     """Single-pair essential-matrix LO-RANSAC in normalized coords.
 
@@ -199,40 +270,60 @@ def ransac_essential(
     (pixel_th / mean focal). Returns (RansacResult with M=E, R, t).
     Parity target: PoseLib `estimate_relative_pose`
     (reference `robust_estimators/relative_pose/poselib.py:9-45`).
+
+    solver: "5pt" (Nister minimal solver, `ops/essential_5pt.py` — the
+    PoseLib-parity default; correct on planar/low-parallax scenes where 8-pt
+    collapses) or "8pt". `num_hyps` counts *scored hypotheses*; the 5-pt
+    path draws `num_hyps // 30` minimal samples, each yielding up to 30
+    candidates (10 roots x 3 hidden-variable groupings). LO refits use the
+    weighted 8-point solve on soft inliers in both modes — with enough
+    soft inliers the 8-pt refit is well posed even when the scene is planar
+    for the *minimal* sample.
     """
     validf = valid.astype(jnp.float32)
-    idx = _sample_minimal_sets(key, validf, num_hyps, 8)  # (S, 8)
-    E = _essential_8pt(p0[idx], p1[idx])  # (S, 3, 3)
-    err = sym_epipolar_distance_all(p0[None], p1[None], E)  # (S, N, N)? no —
-    # sym_epipolar_distance_all is all-pairs; we need matched-pair distances:
-    del err
+    if solver == "5pt":
+        from .essential_5pt import essential_5pt
+
+        n_samples = max(1, num_hyps // 30)
+        idx = _sample_minimal_sets(key, validf, n_samples, 5)  # (S, 5)
+        E, E_valid = essential_5pt(p0[idx], p1[idx])  # (S, 30, 3, 3)
+        E = E.reshape(-1, 3, 3)
+        E_valid = E_valid.reshape(-1)
+    elif solver == "8pt":
+        idx = _sample_minimal_sets(key, validf, num_hyps, 8)  # (S, 8)
+        E = _essential_8pt(p0[idx], p1[idx])  # (S, 3, 3)
+        E_valid = jnp.ones(E.shape[0], bool)
+    else:  # pragma: no cover
+        raise ValueError(f"unknown essential solver {solver!r}")
     err = _matched_epi_distance(E, p0, p1)  # (S, N)
     th2 = th * th
     scores, w = _msac_score(err**2, th2, validf)
+    scores = jnp.where(E_valid, scores, -jnp.inf)
     best = jnp.argmax(scores)
     E_best = E[best]
     w_best = w[best]
+    score_best = scores[best]
 
-    def lo_step(carry, _):
-        E_cur, w_cur, s_cur = carry
-        E_new = _essential_8pt(p0, p1, weights=w_cur)
-        e = _matched_epi_distance(E_new[None], p0, p1)[0]
-        s_new, w_new = _msac_score(e[None] ** 2, th2, validf)
-        s_new, w_new = s_new[0], w_new[0]
-        better = s_new > s_cur
-        return (
-            jnp.where(better, E_new, E_cur),
-            jnp.where(better, w_new, w_cur),
-            jnp.maximum(s_new, s_cur),
-        ), None
-
-    (E_final, w_final, score), _ = jax.lax.scan(
-        lo_step, (E_best, w_best, scores[best]), None, length=lo_iters
+    # local optimization on the pose manifold: decompose the best minimal
+    # model by cheirality, then Gauss-Newton over (R, t). See refine_pose_gn
+    # for why a linear (weighted 8-point) refit is NOT used here.
+    R0, t0 = pose_from_essential(E_best, p0, p1, w_best)
+    R_gn, t_gn, E_gn = refine_pose_gn(
+        R0, t0, p0, p1, validf, th2, iters=4 * lo_iters
     )
+    err_gn = _matched_epi_distance(E_gn[None], p0, p1)[0]
+    score_gn, _ = _msac_score(err_gn[None] ** 2, th2, validf)
+    score_gn = score_gn[0]
+    use_gn = score_gn >= score_best
+    E_final = jnp.where(use_gn, E_gn, E_best)
+    score = jnp.maximum(score_gn, score_best)
+
     err_final = _matched_epi_distance(E_final[None], p0, p1)[0]
     inliers = (err_final < th) & valid
     success = jnp.sum(valid) >= min_matches
-    R, t = pose_from_essential(E_final, p0, p1, inliers.astype(jnp.float32))
+    R_alt, t_alt = pose_from_essential(E_best, p0, p1, inliers.astype(jnp.float32))
+    R = jnp.where(use_gn, R_gn, R_alt)
+    t = jnp.where(use_gn, t_gn, t_alt)
     return RansacResult(E_final, inliers & success, score, success), R, t
 
 

@@ -47,7 +47,8 @@ def get_lib():
     lib.lo_ransac_homography.restype = ctypes.c_int
     lib.lo_ransac_essential.argtypes = [
         f32p, f32p, u8p, ctypes.c_int, ctypes.c_float, ctypes.c_int,
-        ctypes.c_int, ctypes.c_uint, f64p, f64p, f64p, u8p, i32p,
+        ctypes.c_int, ctypes.c_uint, ctypes.c_int, f64p, f64p, f64p, u8p,
+        i32p,
     ]
     lib.lo_ransac_essential.restype = ctypes.c_int
     _lib = lib
@@ -75,7 +76,8 @@ def native_ransac_homography(
 
 
 def native_ransac_essential(
-    p0, p1, valid=None, th=1e-3, max_iters=4000, lo_iters=4, seed=0
+    p0, p1, valid=None, th=1e-3, max_iters=4000, lo_iters=4, seed=0,
+    solver="5pt",
 ):
     lib = get_lib()
     p0 = np.ascontiguousarray(p0, np.float32)
@@ -89,9 +91,10 @@ def native_ransac_essential(
     t = np.zeros(3, np.float64)
     inl = np.zeros(n, np.uint8)
     ninl = ctypes.c_int(0)
+    solver_id = {"5pt": 0, "8pt": 1}[solver]
     ok = lib.lo_ransac_essential(
-        p0, p1, valid, n, th, max_iters, lo_iters, seed, E, R, t, inl,
-        ctypes.byref(ninl),
+        p0, p1, valid, n, th, max_iters, lo_iters, seed, solver_id, E, R, t,
+        inl, ctypes.byref(ninl),
     )
     return (
         bool(ok),

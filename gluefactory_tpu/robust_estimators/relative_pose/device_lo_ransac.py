@@ -28,6 +28,9 @@ class DeviceRelativePoseEstimator(BaseEstimator):
         "num_hypotheses": 1024,
         "lo_iters": 3,
         "seed": 0,
+        # "5pt" = Nister minimal solver (PoseLib parity, robust on planar /
+        # low-parallax scenes); "8pt" = cheaper linear solver
+        "solver": "5pt",
     }
     required_data_keys = ("m_kpts0", "m_kpts1", "camera0", "camera1")
 
@@ -58,6 +61,7 @@ class DeviceRelativePoseEstimator(BaseEstimator):
             th=th,
             num_hyps=self.conf.num_hypotheses,
             lo_iters=self.conf.lo_iters,
+            solver=self.conf.solver,
         )
         return {
             "success": res.success,

@@ -20,6 +20,7 @@ class NativeRelativePoseEstimator(BaseEstimator):
         "max_iters": 4000,
         "lo_iters": 4,
         "seed": 0,
+        "solver": "5pt",  # Nister minimal solver; "8pt" for the linear one
     }
     required_data_keys = ("m_kpts0", "m_kpts1", "camera0", "camera1")
 
@@ -40,6 +41,7 @@ class NativeRelativePoseEstimator(BaseEstimator):
         ok, E, R, t, inliers, n = native_ransac_essential(
             r0, r1, v, th=th, max_iters=self.conf.max_iters,
             lo_iters=self.conf.lo_iters, seed=self.conf.seed,
+            solver=self.conf.solver,
         )
         return {
             "success": ok,

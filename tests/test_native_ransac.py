@@ -69,3 +69,26 @@ def test_native_estimator_registry():
     out = est({"m_kpts0": p0, "m_kpts1": p1})
     assert out["success"]
     np.testing.assert_allclose(out["M_0to1"][0, 2], 10.0, atol=0.5)
+
+
+def test_native_essential_5pt_planar():
+    """5-pt Nister handles the planar scene where 8-pt is rank-deficient
+    (PoseLib parity, reference `relative_pose/poselib.py:9-45`)."""
+    from gluefactory_tpu.robust_estimators.native import native_ransac_essential
+
+    from test_essential_5pt import _planar_scene, _pose_err_deg
+
+    for seed in (2, 3):
+        rng = np.random.RandomState(seed)
+        p0, p1, R, t = _planar_scene(rng)
+        ok, E, R5, t5, inl, n = native_ransac_essential(
+            p0, p1, th=2e-3, solver="5pt", seed=seed
+        )
+        assert ok
+        r_err, t_err = _pose_err_deg(R5, t5, R, t)
+        assert r_err < 1.0 and t_err < 2.0, (seed, r_err, t_err)
+        _, _, R8, t8, _, _ = native_ransac_essential(
+            p0, p1, th=2e-3, solver="8pt", seed=seed
+        )
+        _, t_err8 = _pose_err_deg(R8, t8, R, t)
+        assert t_err8 > 10.0, t_err8  # the linear solver stays degenerate
