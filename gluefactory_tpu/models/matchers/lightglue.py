@@ -222,6 +222,14 @@ class LightGlue(BaseModel):
         "depth_confidence": -1,  # adaptive depth (masked; -1 = off)
         "width_confidence": -1,  # adaptive width via masking (-1 = off)
         "dtype": "float32",  # "bfloat16": transformer compute on the MXU
+        # Tensor parallelism over the keypoint (token) axis (SURVEY.md §5.7):
+        # set to a mesh axis name (e.g. "model") and call the model under
+        # `jax.sharding.set_mesh(mesh)` — GSPMD sharding constraints anchor
+        # the token axis to that mesh axis and XLA inserts the all-gathers
+        # (K/V) and psums (column softmax) over ICI. `dp_axis` is the batch
+        # axis. None = single-chip / pure-DP (no constraints emitted).
+        "tp_axis": None,
+        "dp_axis": "data",
         "loss": {
             "gamma": 1.0,
             "nll_balancing": 0.5,
@@ -273,6 +281,14 @@ class LightGlue(BaseModel):
         enc0 = rotary_emb_2d(p0, self.posenc_freqs)
         enc1 = rotary_emb_2d(p1, self.posenc_freqs)
 
+        if c.tp_axis:
+            # anchor the token axis to the TP mesh axis; the constraint on the
+            # scan carry keeps every layer's activations token-sharded, and
+            # XLA emits the K/V all-gathers + assignment-softmax collectives.
+            x0, x1, enc0, enc1, mask0, mask1 = self._tp_shard(
+                x0, x1, enc0, enc1, mask0, mask1
+            )
+
         L = c.n_layers
         # per-layer confidence thresholds (reference `confidence_threshold`,
         # `lightglue.py:556-558`)
@@ -293,6 +309,11 @@ class LightGlue(BaseModel):
 
         # final-layer assignment comes from the scanned per-layer heads
         scores = per_layer["scores"][-1]
+        if c.tp_axis and self._tp_active():
+            # rows of the (B, N, M) assignment ride the token sharding
+            scores = jax.lax.with_sharding_constraint(
+                scores, jax.sharding.PartitionSpec(c.dp_axis, c.tp_axis, None)
+            )
         m0, m1, ms0, ms1 = filter_matches(scores, c.filter_threshold)
         m0 = jnp.where(mask0, m0, -1)
         m1 = jnp.where(mask1, m1, -1)
@@ -313,6 +334,44 @@ class LightGlue(BaseModel):
             pred["keypoint_valid0"] = mask0
             pred["keypoint_valid1"] = mask1
         return pred
+
+    @nn.nowrap
+    def _tp_active(self) -> bool:
+        """True when an ambient mesh carrying `conf.tp_axis` is set."""
+        mesh = jax.sharding.get_abstract_mesh()
+        return bool(
+            mesh is not None
+            and self.conf.tp_axis in getattr(mesh, "axis_names", ())
+        )
+
+    @nn.nowrap
+    def _tp_shard(self, x0, x1, enc0, enc1, mask0, mask1):
+        """GSPMD constraints sharding the token axis over `conf.tp_axis`.
+
+        Requires an ambient mesh (`jax.sharding.set_mesh`) whose axis names
+        include `tp_axis`/`dp_axis`. This is the TPU-native tensor-parallel
+        matcher: instead of the reference's single-GPU width pruning
+        (`lightglue.py:506-521`), large keypoint sets are split over chips
+        and XLA's GSPMD partitioner inserts the ICI collectives.
+        """
+        c = self.conf
+        if not self._tp_active():
+            # no ambient mesh (e.g. param init, single-chip run): no-op so the
+            # same conf works everywhere; sharding engages under `set_mesh`.
+            return x0, x1, enc0, enc1, mask0, mask1
+        P = jax.sharding.PartitionSpec
+        wsc = jax.lax.with_sharding_constraint
+        tok2 = P(c.dp_axis, c.tp_axis)
+        tok3 = P(c.dp_axis, c.tp_axis, None)
+        tok4 = P(c.dp_axis, c.tp_axis, None, None)
+        return (
+            wsc(x0, tok3),
+            wsc(x1, tok3),
+            wsc(enc0, tok4),
+            wsc(enc1, tok4),
+            wsc(mask0, tok2),
+            wsc(mask1, tok2),
+        )
 
     @nn.nowrap
     def _forward_adaptive_depth(self, x0, x1, enc0, enc1, mask0, mask1, conf_ths):
