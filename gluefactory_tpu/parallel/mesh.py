@@ -34,11 +34,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a host batch with batch-axis sharding over the mesh."""
+    """Device-put a host batch with batch-axis sharding over the mesh.
+
+    Single-process: a plain device_put with the "data" sharding. Multi-process
+    (multi-host TPU pods, `jax.distributed.initialize`): each host passes its
+    LOCAL per-host batch (what its loader yielded — loaders shard items by
+    `process_index`, `datasets/base_dataset.py`) and the global array is
+    assembled with `make_array_from_process_local_data`, so the global batch
+    axis is host-major over the "data" mesh axis with zero cross-host copies.
+    """
     sh = batch_sharding(mesh)
+    multiproc = jax.process_count() > 1
 
     def put(x):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
+            if multiproc:
+                return jax.make_array_from_process_local_data(sh, np.asarray(x))
             return jax.device_put(x, sh)
         return x
 

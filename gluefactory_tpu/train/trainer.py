@@ -258,7 +258,9 @@ def training(conf: Config, output_dir: Path, args=None):
     import math
 
     n_dev = len(jax.devices())
-    batch = int(dataset.conf.get("train_batch_size", 1))
+    # loaders yield per-host batches (DDP semantics): the global batch is
+    # batch_size x process_count
+    batch = int(dataset.conf.get("train_batch_size", 1)) * jax.process_count()
     data_axis = math.gcd(batch, n_dev)
     if data_axis < n_dev:
         logger.warning(
