@@ -1,0 +1,231 @@
+"""Schur-complement bundle adjustment as a batched JAX kernel.
+
+Design (TPU-first, BASELINE.json north star — the reference repo stops at
+two-view estimation):
+  - Track-major fixed-shape observations: every landmark carries up to V
+    observations `(cam_idx, uv, valid)`, so Jacobians, the point blocks
+    V_j, the coupling blocks W_ij, and the Schur cross terms are single
+    einsums over (P, V) — no per-track loops, everything lands on the MXU.
+  - The reduced camera system S (C·6 x C·6) is assembled by scatter-adds of
+    (P, V, V, 6, 6) outer products and solved densely (cameras are few;
+    landmarks are many — the classic Schur trick).
+  - Levenberg-Marquardt runs as a `lax.scan` with accept/reject carried in
+    the loop state: fixed iteration count, no host round-trips.
+  - Distributed BA: the landmark axis shards over a mesh axis; camera-system
+    accumulators and the cost are `psum`med over ICI (`axis_name`), the
+    dense Schur solve is replicated, and the landmark back-substitution
+    stays shard-local. `bundle_adjust_sharded` wraps this in `shard_map`.
+
+Poses are world->camera (x_cam = R x_world + t); observations are
+normalized image coordinates. Updates are left-multiplicative SE(3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .lie import hat, se3_compose, se3_exp
+
+
+def reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid, eps=1e-6):
+    """Masked reprojection residuals.
+
+    Rs: (C, 3, 3), ts: (C, 3), pts: (P, 3), cam_idx: (P, V), uv: (P, V, 2),
+    valid: (P, V). Returns (r (P, V, 2), q (P, V, 3)) with invalid rows zero.
+    """
+    Rc = Rs[cam_idx]  # (P, V, 3, 3)
+    tc = ts[cam_idx]  # (P, V, 3)
+    q = jnp.einsum("pvij,pj->pvi", Rc, pts) + tc
+    z = jnp.maximum(q[..., 2], eps)
+    proj = q[..., :2] / z[..., None]
+    r = jnp.where(valid[..., None], proj - uv, 0.0)
+    return r, q
+
+
+def _cost(r, axis_name=None):
+    c = 0.5 * jnp.sum(r * r)
+    if axis_name is not None:
+        c = jax.lax.psum(c, axis_name)
+    return c
+
+
+def _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid, eps=1e-6):
+    """Jacobian blocks for every observation.
+
+    Returns r (P,V,2), Jc (P,V,2,6) [v,w] left-SE(3), Jp (P,V,2,3).
+    """
+    r, q = reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid, eps)
+    z = jnp.maximum(q[..., 2], eps)
+    iz = 1.0 / z
+    # d proj / d q : (P, V, 2, 3)
+    zero = jnp.zeros_like(iz)
+    dpq = jnp.stack(
+        [
+            jnp.stack([iz, zero, -q[..., 0] * iz * iz], -1),
+            jnp.stack([zero, iz, -q[..., 1] * iz * iz], -1),
+        ],
+        -2,
+    )
+    m = valid[..., None, None]
+    dpq = jnp.where(m, dpq, 0.0)
+    # camera: q' = q + dv + dw x q  ->  dq/ddv = I, dq/ddw = -hat(q)
+    Jc = jnp.concatenate([dpq, -jnp.einsum("pvij,pvjk->pvik", dpq, hat(q))], -1)
+    Jp = jnp.einsum("pvij,pvjk->pvik", dpq, Rs[cam_idx])
+    return r, Jc, Jp
+
+
+def _lm_step(Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name):
+    C = Rs.shape[0]
+    r, Jc, Jp = _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid)
+
+    # point blocks (shard-local)
+    Vb = jnp.einsum("pvki,pvkj->pij", Jp, Jp)  # (P, 3, 3)
+    Vb = Vb + lam * jnp.eye(3) * jnp.maximum(
+        jnp.einsum("pii->p", Vb)[:, None, None] / 3.0, 1e-8
+    )
+    gp = jnp.einsum("pvki,pvk->pi", Jp, r)  # (P, 3)
+    Vinv = jnp.linalg.inv(Vb)
+
+    # camera blocks (psum-reduced)
+    Ublk = jnp.einsum("pvki,pvkj->pvij", Jc, Jc)  # (P, V, 6, 6)
+    U = jnp.zeros((C, 6, 6)).at[cam_idx.reshape(-1)].add(
+        Ublk.reshape(-1, 6, 6)
+    )
+    gc = jnp.zeros((C, 6)).at[cam_idx.reshape(-1)].add(
+        jnp.einsum("pvki,pvk->pvi", Jc, r).reshape(-1, 6)
+    )
+
+    # coupling and Schur cross terms
+    W = jnp.einsum("pvki,pvkj->pvij", Jc, Jp)  # (P, V, 6, 3)
+    Y = jnp.einsum("pvij,pjk->pvik", W, Vinv)  # (P, V, 6, 3)
+    cross = jnp.einsum("pvij,pwkj->pvwik", Y, W)  # (P, V, V, 6, 6)
+    P_, Vn = cam_idx.shape
+    ii = jnp.broadcast_to(cam_idx[:, :, None], (P_, Vn, Vn)).reshape(-1)
+    jj = jnp.broadcast_to(cam_idx[:, None, :], (P_, Vn, Vn)).reshape(-1)
+    S = jnp.zeros((C, C, 6, 6)).at[ii, jj].add(-cross.reshape(-1, 6, 6))
+    g_schur = gc - jnp.zeros((C, 6)).at[cam_idx.reshape(-1)].add(
+        jnp.einsum("pvij,pj->pvi", Y, gp).reshape(-1, 6)
+    )
+
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        S = jax.lax.psum(S, axis_name)
+        g_schur = jax.lax.psum(g_schur, axis_name)
+
+    U = U + lam * jnp.eye(6) * jnp.maximum(
+        jnp.einsum("cii->c", U)[:, None, None] / 6.0, 1e-8
+    )
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(U)
+
+    # gauge fixing: identity rows/cols for fixed cameras
+    free = (~fixed_cameras).astype(S.dtype)
+    S = S * free[:, None, None, None] * free[None, :, None, None]
+    S = S.at[jnp.arange(C), jnp.arange(C)].add(
+        jnp.eye(6) * fixed_cameras[:, None, None].astype(S.dtype)
+    )
+    g_schur = g_schur * free[:, None]
+
+    Sd = jnp.transpose(S, (0, 2, 1, 3)).reshape(C * 6, C * 6)
+    dc = -jnp.linalg.solve(Sd, g_schur.reshape(-1)).reshape(C, 6)
+    dc = dc * free[:, None]
+
+    # landmark back-substitution (shard-local)
+    dc_obs = dc[cam_idx]  # (P, V, 6)
+    rhs = gp + jnp.einsum("pvij,pvi->pj", W, dc_obs)
+    dp = -jnp.einsum("pij,pj->pi", Vinv, rhs)
+
+    # candidate update
+    Rd, td = se3_exp(dc)
+    Rs_new, ts_new = se3_compose(Rd, td, Rs, ts)
+    pts_new = pts + dp
+    return Rs_new, ts_new, pts_new
+
+
+def _ba_loop(Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, axis_name):
+    r0, _ = reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid)
+    cost0 = _cost(r0, axis_name)
+
+    def step(carry, _):
+        Rs, ts, pts, lam, cost = carry
+        Rn, tn, pn = _lm_step(
+            Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name
+        )
+        rn, _ = reprojection_residuals(Rn, tn, pn, cam_idx, uv, valid)
+        cn = _cost(rn, axis_name)
+        accept = cn < cost
+        lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), lam * 5.0)
+        pick = lambda a, b: jnp.where(accept, a, b)
+        Rs = pick(Rn, Rs)
+        ts = pick(tn, ts)
+        pts = pick(pn, pts)
+        cost = jnp.where(accept, cn, cost)
+        return (Rs, ts, pts, lam, cost), cost
+
+    (Rs, ts, pts, _, cost), hist = jax.lax.scan(
+        step, (Rs, ts, pts, jnp.asarray(lam0, Rs.dtype), cost0), None, length=iters
+    )
+    return Rs, ts, pts, {"cost": cost, "cost0": cost0, "history": hist}
+
+
+def bundle_adjust(
+    Rs,
+    ts,
+    pts,
+    cam_idx,
+    uv,
+    valid,
+    fixed_cameras=None,
+    iters: int = 25,
+    lam0: float = 1e-3,
+):
+    """Single-device LM bundle adjustment. See module docstring for layout.
+
+    fixed_cameras: (C,) bool gauge mask (default: camera 0 fixed). Fix >= 2
+    cameras (or one camera plus scale by other means) to pin the full gauge.
+    Returns (Rs, ts, pts, info dict).
+    """
+    if fixed_cameras is None:
+        fixed_cameras = jnp.arange(Rs.shape[0]) == 0
+    return _ba_loop(
+        Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, None
+    )
+
+
+def bundle_adjust_sharded(
+    mesh,
+    Rs,
+    ts,
+    pts,
+    cam_idx,
+    uv,
+    valid,
+    fixed_cameras=None,
+    iters: int = 25,
+    lam0: float = 1e-3,
+    axis: str = "data",
+):
+    """Distributed BA: landmarks sharded over `axis`, camera system reduced
+    with psum over ICI, Schur solve replicated, back-substitution local.
+
+    pts/cam_idx/uv/valid must have their leading (landmark) axis divisible
+    by the mesh axis size. Returns the same as `bundle_adjust` (history is
+    the replicated cost curve).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if fixed_cameras is None:
+        fixed_cameras = jnp.arange(Rs.shape[0]) == 0
+
+    shard = P(axis)
+    rep = P()
+
+    fn = jax.shard_map(
+        partial(_ba_loop, iters=iters, lam0=lam0, axis_name=axis),
+        mesh=mesh,
+        in_specs=(rep, rep, shard, shard, shard, shard, rep),
+        out_specs=(rep, rep, shard, rep),
+    )
+    return fn(Rs, ts, pts, cam_idx, uv, valid, fixed_cameras)

@@ -1,0 +1,179 @@
+"""SfM back-end: triangulation, Schur BA, pose graph (BASELINE.json north
+star — no reference counterpart, built from scratch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gluefactory_tpu.sfm import (
+    bundle_adjust,
+    optimize_pose_graph,
+    reprojection_residuals,
+    triangulate_nview,
+    triangulate_two_view,
+)
+from gluefactory_tpu.sfm.lie import se3_exp, se3_log, so3_exp
+
+
+def _scene(rng, C=6, P=120, noise=0.0):
+    """C cameras on an arc looking at a point cloud around the origin."""
+    Rs, ts = [], []
+    for i in range(C):
+        ang = 0.25 * (i - C / 2) / C
+        R = so3_exp(jnp.asarray([0.05 * rng.randn(), ang, 0.02 * rng.randn()]))
+        center = np.array([2.0 * np.sin(ang * 4), 0.3 * rng.randn(), -6.0 + 0.2 * i])
+        t = -np.asarray(R) @ center
+        Rs.append(np.asarray(R))
+        ts.append(t)
+    Rs, ts = np.stack(Rs), np.stack(ts)
+    pts = rng.randn(P, 3) * np.array([2.0, 1.5, 1.0])
+
+    V = C
+    cam_idx = np.broadcast_to(np.arange(C), (P, V)).copy()
+    q = np.einsum("vij,pj->pvi", Rs, pts) + ts[None]
+    uv = q[..., :2] / q[..., 2:3]
+    valid = q[..., 2] > 0.1
+    # drop some observations to make tracks ragged
+    valid &= rng.rand(P, V) > 0.2
+    keep = valid.sum(1) >= 3
+    pts, cam_idx, uv, valid = pts[keep], cam_idx[keep], uv[keep], valid[keep]
+    uv = uv + noise * rng.randn(*uv.shape) * valid[..., None]
+    return (
+        jnp.asarray(Rs, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32),
+        jnp.asarray(ts, jnp.float32),
+        jnp.asarray(pts, jnp.float32),
+        jnp.asarray(cam_idx, jnp.int32),
+        jnp.asarray(uv, jnp.float32),
+        jnp.asarray(valid),
+    )
+
+
+def test_triangulate_two_view():
+    rng = np.random.RandomState(0)
+    R = np.asarray(so3_exp(jnp.asarray([0.02, -0.1, 0.03])))
+    t = np.array([0.5, 0.05, 0.1])
+    X = rng.randn(50, 3) * 1.5 + np.array([0, 0, 5.0])
+    p0 = X[:, :2] / X[:, 2:]
+    X1 = X @ R.T + t
+    p1 = X1[:, :2] / X1[:, 2:]
+    Xt, ok = jax.jit(triangulate_two_view)(
+        jnp.asarray(R, jnp.float32),
+        jnp.asarray(t, jnp.float32),
+        jnp.asarray(p0, jnp.float32),
+        jnp.asarray(p1, jnp.float32),
+    )
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(np.asarray(Xt), X, atol=1e-3)
+
+
+def test_triangulate_nview():
+    rng = np.random.RandomState(1)
+    Rs, ts, pts, cam_idx, uv, valid = _scene(rng)
+    est, ok = jax.jit(triangulate_nview)(Rs, ts, uv, valid)
+    assert float(jnp.mean(ok)) > 0.95
+    err = np.linalg.norm(np.asarray(est) - np.asarray(pts), axis=1)
+    assert np.median(err[np.asarray(ok)]) < 1e-2
+
+
+def test_bundle_adjust_converges_to_gt():
+    rng = np.random.RandomState(2)
+    Rs, ts, pts, cam_idx, uv, valid = _scene(rng)
+    C = Rs.shape[0]
+    # perturb all but the two gauge cameras + all points
+    dR = so3_exp(jnp.asarray(rng.randn(C, 3) * 0.02, jnp.float32))
+    Rs0 = jnp.where(jnp.arange(C)[:, None, None] < 2, Rs, dR @ Rs)
+    ts0 = jnp.where(
+        jnp.arange(C)[:, None] < 2,
+        ts,
+        ts + jnp.asarray(rng.randn(C, 3) * 0.05, jnp.float32),
+    )
+    pts0 = pts + jnp.asarray(rng.randn(*pts.shape) * 0.05, jnp.float32)
+
+    fixed = jnp.arange(C) < 2
+    r0, _ = reprojection_residuals(Rs0, ts0, pts0, cam_idx, uv, valid)
+    Rn, tn, pn, info = jax.jit(
+        lambda *a: bundle_adjust(*a, fixed_cameras=fixed, iters=30)
+    )(Rs0, ts0, pts0, cam_idx, uv, valid)
+    assert float(info["cost"]) < 1e-7 * float(info["cost0"]) + 1e-10
+
+    rot_err = jnp.linalg.norm(se3_log(Rn @ jnp.swapaxes(Rs, -1, -2),
+                                      tn - jnp.einsum("cij,ckj,ck->ci", Rn, Rs, ts)),
+                              axis=-1)
+    assert float(jnp.max(rot_err)) < 1e-3
+    pt_err = np.linalg.norm(np.asarray(pn) - np.asarray(pts), axis=1)
+    assert np.median(pt_err) < 1e-3
+
+
+def test_bundle_adjust_sharded_matches_dense():
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.sfm.ba import bundle_adjust_sharded
+
+    rng = np.random.RandomState(3)
+    Rs, ts, pts, cam_idx, uv, valid = _scene(rng, P=140)
+    # pad landmarks to a multiple of 8 (invalid observations contribute zero)
+    P = pts.shape[0]
+    pad = (-P) % 8
+    pts_p = jnp.concatenate([pts, jnp.ones((pad, 3))], 0)
+    cam_p = jnp.concatenate([cam_idx, jnp.zeros((pad,) + cam_idx.shape[1:], jnp.int32)], 0)
+    uv_p = jnp.concatenate([uv, jnp.zeros((pad,) + uv.shape[1:])], 0)
+    val_p = jnp.concatenate([valid, jnp.zeros((pad,) + valid.shape[1:], bool)], 0)
+
+    C = Rs.shape[0]
+    fixed = jnp.arange(C) < 2
+    dR = so3_exp(jnp.asarray(rng.randn(C, 3) * 0.02, jnp.float32))
+    Rs0 = jnp.where(jnp.arange(C)[:, None, None] < 2, Rs, dR @ Rs)
+    ts0 = ts + jnp.where(jnp.arange(C)[:, None] < 2, 0.0, 0.05)
+    pts0 = pts_p + 0.03
+
+    mesh = make_mesh(data=8, model=1)
+    Rd, td, pd, info_d = bundle_adjust(
+        Rs0, ts0, pts0, cam_p, uv_p, val_p, fixed_cameras=fixed, iters=15
+    )
+    Rsh, tsh, psh, info_s = bundle_adjust_sharded(
+        mesh, Rs0, ts0, pts0, cam_p, uv_p, val_p, fixed_cameras=fixed, iters=15
+    )
+    np.testing.assert_allclose(np.asarray(Rsh), np.asarray(Rd), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(tsh), np.asarray(td), atol=5e-5)
+    assert float(info_s["cost"]) < 1e-6 * max(float(info_s["cost0"]), 1e-12) + 1e-9
+
+
+def test_pose_graph_closes_loop():
+    rng = np.random.RandomState(4)
+    K = 10
+    # ground-truth poses around a loop
+    Rs_gt, ts_gt = [], []
+    for k in range(K):
+        ang = 2 * np.pi * k / K
+        R = np.asarray(so3_exp(jnp.asarray([0.0, ang, 0.0], jnp.float32)))
+        c = np.array([np.cos(ang), 0.0, np.sin(ang)]) * 3.0
+        Rs_gt.append(R)
+        ts_gt.append(-R @ c)
+    Rs_gt, ts_gt = jnp.asarray(np.stack(Rs_gt), jnp.float32), jnp.asarray(
+        np.stack(ts_gt), jnp.float32
+    )
+
+    # odometry edges k -> k+1 plus the loop-closure edge, exact measurements
+    ea = np.array([k for k in range(K)], np.int32)
+    eb = np.array([(k + 1) % K for k in range(K)], np.int32)
+    from gluefactory_tpu.sfm.lie import se3_compose, se3_inverse
+
+    Rbi, tbi = se3_inverse(Rs_gt[eb], ts_gt[eb])
+    Rm, tm = se3_compose(Rs_gt[ea], ts_gt[ea], Rbi, tbi)
+
+    # drifted initialization
+    noise = jnp.asarray(rng.randn(K, 6) * 0.05, jnp.float32)
+    noise = noise.at[0].set(0.0)
+    dR, dt = se3_exp(noise)
+    Rs0, ts0 = se3_compose(dR, dt, Rs_gt, ts_gt)
+
+    Rn, tn, info = jax.jit(lambda *a: optimize_pose_graph(*a, iters=15))(
+        Rs0, ts0, jnp.asarray(ea), jnp.asarray(eb), Rm, tm
+    )
+    assert float(info["cost"]) < 1e-10
+    # recovered poses match GT (gauge fixed at node 0)
+    err = se3_log(
+        Rn @ jnp.swapaxes(Rs_gt, -1, -2),
+        tn - jnp.einsum("kij,klj,kl->ki", Rn, Rs_gt, ts_gt),
+    )
+    assert float(jnp.max(jnp.linalg.norm(err, axis=-1))) < 1e-4
