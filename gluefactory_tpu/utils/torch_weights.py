@@ -336,3 +336,94 @@ def _stack_trees(trees: list) -> dict:
         else:
             out[k] = np.stack(vals)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ALIKED
+# ---------------------------------------------------------------------------
+
+
+def convert_aliked(sd: dict, model_name: str = "aliked-n16") -> dict:
+    """Official ALIKED checkpoint -> flax params for `extractors/aliked.py`.
+
+    Reference arch `gluefactory/models/extractors/aliked.py:593-735`:
+    ConvBlock/ResBlock encoder (BatchNorm eval -> AffineNorm scale/bias),
+    DeformableConv2d (offset conv + regular conv; the regular conv weight
+    (O, I, 3, 3) flattens to our (9*I, O) tap-major matmul layout), 1x1
+    aggregation convs, 4-conv score head, SDDH descriptor head (offset convs
+    flattened to matmuls, sf_conv 1x1, agg_weights passthrough).
+    """
+
+    def bn_affine(bn, eps=1e-5):
+        gamma = sd[f"{bn}.weight"]
+        beta = sd[f"{bn}.bias"]
+        mean = sd[f"{bn}.running_mean"]
+        var = sd[f"{bn}.running_var"]
+        scale = gamma / np.sqrt(var + eps)
+        return {
+            "scale": scale.astype(np.float32),
+            "bias": (beta - mean * scale).astype(np.float32),
+        }
+
+    def dcn(name):
+        # regular_conv (O, I, 3, 3) -> (3*3*I, O) with row-major taps,
+        # channel-fastest (matches samples.reshape(B,H,W,K*K*C) @ w)
+        w = sd[f"{name}.regular_conv.weight"]
+        O, I, Kh, Kw = w.shape
+        w = np.transpose(w, (2, 3, 1, 0)).reshape(Kh * Kw * I, O)
+        return {
+            "offset_conv": t_conv(sd, f"{name}.offset_conv"),
+            "weight": np.ascontiguousarray(w),
+        }
+
+    def conv_block(name):
+        return {
+            "conv1": t_conv(sd, f"{name}.conv1"),
+            "bn1": bn_affine(f"{name}.bn1"),
+            "conv2": t_conv(sd, f"{name}.conv2"),
+            "bn2": bn_affine(f"{name}.bn2"),
+        }
+
+    def res_block(name, dcn_block):
+        mk = dcn if dcn_block else (lambda n: t_conv(sd, n))
+        return {
+            "conv1": mk(f"{name}.conv1"),
+            "bn1": bn_affine(f"{name}.bn1"),
+            "conv2": mk(f"{name}.conv2"),
+            "bn2": bn_affine(f"{name}.bn2"),
+            "downsample": t_conv(sd, f"{name}.downsample"),
+        }
+
+    def sddh():
+        # offset_conv.0: (2M, C, 3, 3) valid conv on a 3x3 patch == matmul
+        # over the flattened patch; patch layout (ps, ps, C) row-major
+        w0 = sd["desc_head.offset_conv.0.weight"]  # (2M, C, 3, 3)
+        M2, C, Kh, Kw = w0.shape
+        w0 = np.transpose(w0, (2, 3, 1, 0)).reshape(Kh * Kw * C, M2)
+        w1 = sd["desc_head.offset_conv.2.weight"][:, :, 0, 0]  # (2M, 2M)
+        sf = sd["desc_head.sf_conv.weight"][:, :, 0, 0]  # (C, C)
+        return {
+            "offset_conv0": np.ascontiguousarray(w0),
+            "offset_bias0": sd["desc_head.offset_conv.0.bias"],
+            "offset_conv1": np.ascontiguousarray(w1.T),
+            "offset_bias1": sd["desc_head.offset_conv.2.bias"],
+            "sf_conv": np.ascontiguousarray(sf.T),
+            "agg_weights": sd["desc_head.agg_weights"],
+        }
+
+    params = {
+        "block1": conv_block("block1"),
+        "block2": res_block("block2", False),
+        "block3": res_block("block3", True),
+        "block4": res_block("block4", True),
+        "conv1": t_conv(sd, "conv1"),
+        "conv2": t_conv(sd, "conv2"),
+        "conv3": t_conv(sd, "conv3"),
+        "conv4": t_conv(sd, "conv4"),
+        "score0": t_conv(sd, "score_head.0"),
+        "score1": t_conv(sd, "score_head.2"),
+        "score2": t_conv(sd, "score_head.4"),
+        "score3": t_conv(sd, "score_head.6"),
+        "desc_head": sddh(),
+    }
+    return {"params": params}

@@ -107,7 +107,7 @@ def test_triplet_pipeline_stacked():
 
 def test_aliked_forward():
     al = get_model("aliked").from_conf(
-        {"max_num_keypoints": 64, "channels": [4, 8, 8, 16], "descriptor_dim": 32,
+        {"model_name": "aliked-t16", "max_num_keypoints": 64,
          "detection_threshold": 0.0}
     )
     rng = np.random.RandomState(0)
@@ -115,7 +115,7 @@ def test_aliked_forward():
     params = al.init(jax.random.PRNGKey(0), {"image": img})
     pred = jax.jit(lambda d: al.apply(params, d))({"image": img})
     assert pred["keypoints"].shape == (1, 64, 2)
-    assert pred["descriptors"].shape == (1, 64, 32)
+    assert pred["descriptors"].shape == (1, 64, 64)  # aliked-t16 dim
     d = np.asarray(pred["descriptors"][0])
     valid = np.asarray(pred["keypoint_valid"][0])
     assert np.allclose(np.linalg.norm(d[valid], axis=-1), 1.0, atol=1e-4)
