@@ -78,30 +78,31 @@ class GlobalFrame:
 class TwoViewFrame:
     """Match visualization of one pair from the cached predictions."""
 
-    def __init__(self, run: dict, name: str, benchmark: str):
+    def __init__(self, run: dict, name: str, benchmark: str, plot: str = "matches"):
         import h5py
 
-        from ..visualization.viz2d import plot_images, plot_matches
+        from ..visualization.tools import __plot_dict__
+        from ..visualization.viz2d import plot_images
 
         pred_file = run["dir"] / "predictions.h5"
         with h5py.File(str(pred_file), "r") as f:
             if name not in f:
                 print(f"pair {name} not in predictions")
                 return
-            pred = {k: v.__array__() for k, v in f[name].items()}
+            pred = {k: v.__array__()[None] for k, v in f[name].items()}
         imgs = self._load_images(name, benchmark)
         if imgs is None:
             print(f"images for {name} not found under {DATA_PATH}")
             return
-        kp0 = pred["keypoints0"]
-        kp1 = pred["keypoints1"]
-        m0 = pred["matches0"]
-        valid = m0 >= 0
-        fig, axs = plot_images(list(imgs), titles=[name, ""])
-        plot_matches(
-            axs[0], axs[1], kp0[valid], kp1[m0[valid].clip(0, len(kp1) - 1)],
-            lw=0.5, ps=2,
-        )
+        fig, axs = plot_images(list(imgs), titles=[f"{name} [{plot}]", ""])
+        # any registered plot from visualization/tools.py (reference
+        # `tools.py:582-600` keyboard-toggle registry)
+        plot_cls = __plot_dict__.get(plot, __plot_dict__["matches"])
+        data = {
+            "view0": {"image": imgs[0][None]},
+            "view1": {"image": imgs[1][None]},
+        }
+        plot_cls()(pred, data, 0, axs)
         fig.show()
 
     def _load_images(self, name: str, benchmark: str):

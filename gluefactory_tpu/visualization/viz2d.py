@@ -22,6 +22,98 @@ def cm_RdGn(x):
     return np.clip(c, 0, 1)
 
 
+def cm_RdBl(x):
+    """Red-to-blue colormap (reference `viz2d.py:30-35`)."""
+    x = np.clip(np.asarray(x, float), 0, 1)[..., None]
+    c = x * np.array([[0, 0, 1.0]]) + (1 - x) * np.array([[1.0, 0, 0]])
+    return np.clip(c, 0, 1)
+
+
+def cm_BlRdGn(x_):
+    """Blue -> red -> green over [-1, 1] (reference `viz2d.py:44-53`)."""
+    x_ = np.asarray(x_, float)
+    x = np.clip(x_, 0, 1)[..., None] * 2
+    c = x * np.array([[0, 1.0, 0, 1.0]]) + (2 - x) * np.array([[1.0, 0, 0, 1.0]])
+    xn = -np.clip(x_, -1, 0)[..., None] * 2
+    cn = xn * np.array([[0, 0.1, 1, 1.0]]) + (2 - xn) * np.array([[1.0, 0, 0, 1.0]])
+    return np.clip(np.where((x_ < 0)[..., None], cn, c), 0, 1)
+
+
+def cm_ranking(sc, ths=(512, 1024, 2048, 4096)):
+    """Color keypoints by score rank bucket (reference `viz2d.py:16-27`)."""
+    sc = np.asarray(sc, float)
+    ls = sc.shape[0]
+    colors = ["red", "yellow", "lime", "cyan", "blue"]
+    out = ["gray"] * ls
+    for i, th in reversed(list(enumerate(ths))):
+        if th >= ls:
+            continue
+        out[: min(th, ls)] = [colors[i]] * min(th, ls)
+    out[: min(ths[0], ls)] = [colors[0]] * min(ths[0], ls)
+    return out
+
+
+def cm_grad2d(xy):
+    """2D position -> color gradient (reference `viz2d.py:55-66`):
+    smooth green/red/blue mix over the unit square."""
+    xy = np.asarray(xy, float)
+    x = np.clip(xy[..., 0], 0, 1)
+    y = np.clip(xy[..., 1], 0, 1)
+    c = np.stack([x * (1 - y), y, (1 - x) * (1 - y)], -1)
+    return np.clip(c, 0, 1)
+
+
+def plot_image_grid(
+    imgs,
+    titles=None,
+    cmaps="gray",
+    dpi=100,
+    pad=0.5,
+    fig=None,
+    adaptive=True,
+    figs=2.0,
+    return_fig=False,
+    set_lim=False,
+):
+    """Plot a grid of images: imgs is a list of rows, each a list of images
+    (reference `viz2d.py:104-158`). Returns axes (and the figure when
+    return_fig)."""
+    n_rows = len(imgs)
+    n_cols = max(len(r) for r in imgs)
+    rows = [[np.asarray(im) for im in r] for r in imgs]
+    if adaptive:
+        ratios = [max(im.shape[1] / im.shape[0] for im in r) for r in rows]
+    else:
+        ratios = [4 / 3] * n_rows
+    figsize = [sum(ratios) * figs / n_rows * n_cols, figs * n_rows]
+    if fig is None:
+        fig, axarr = plt.subplots(
+            n_rows, n_cols, figsize=figsize, dpi=dpi, squeeze=False,
+            gridspec_kw={"hspace": pad, "wspace": pad},
+        )
+    else:
+        axarr = np.asarray(fig.subplots(n_rows, n_cols, squeeze=False))
+    for r, row in enumerate(rows):
+        for c_i in range(n_cols):
+            ax = axarr[r][c_i]
+            ax.set_axis_off()
+            if c_i >= len(row):
+                continue
+            im = row[c_i]
+            if im.ndim == 3 and im.shape[-1] == 1:
+                im = im[..., 0]
+            cmap = cmaps if isinstance(cmaps, str) else cmaps[c_i]
+            ax.imshow(im, cmap=plt.get_cmap(cmap) if im.ndim == 2 else None)
+            if set_lim:
+                ax.set_xlim([0, im.shape[1]])
+                ax.set_ylim([im.shape[0], 0])
+            if titles is not None:
+                ax.set_title(titles[r][c_i], fontsize=8)
+    if return_fig:
+        return fig, axarr
+    return axarr
+
+
 def plot_images(imgs, titles=None, cmaps="gray", dpi=100, pad=0.5, adaptive=True):
     """Plot images side by side; returns the figure."""
     imgs = [np.asarray(img) for img in imgs]

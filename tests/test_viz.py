@@ -49,3 +49,72 @@ def test_plot_cumulative_and_epipolar():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_plot_registry_and_compare_figures():
+    rng = np.random.RandomState(1)
+    B, N = 1, 30
+    W, H = 64, 48
+    data = {
+        "view0": {"image": rng.rand(B, H, W, 3).astype(np.float32)},
+        "view1": {"image": rng.rand(B, H, W, 3).astype(np.float32)},
+        "H_0to1": np.broadcast_to(np.eye(3, dtype=np.float32), (B, 3, 3)),
+    }
+    gt0 = np.concatenate([np.arange(15), np.full(10, -1), np.full(5, -2)])
+    pred = {
+        "keypoints0": rng.rand(B, N, 2) * [W, H],
+        "keypoints1": rng.rand(B, N, 2) * [W, H],
+        "keypoint_scores0": rng.rand(B, N),
+        "keypoint_scores1": rng.rand(B, N),
+        "matches0": np.where(rng.rand(B, N) > 0.4, np.arange(N)[None], -1),
+        "matching_scores0": rng.rand(B, N),
+        "gt_matches0": gt0[None],
+        "keypoint_valid0": np.ones((B, N), bool),
+        "keypoint_valid1": np.ones((B, N), bool),
+    }
+    from gluefactory_tpu.visualization.tools import __plot_dict__
+    from gluefactory_tpu.visualization.viz2d import plot_images
+
+    for name, cls in __plot_dict__.items():
+        if name == "epipolar_matches":
+            continue  # needs cameras/pose; covered by eval fixtures
+        fig, axs = plot_images(
+            [data["view0"]["image"][0], data["view1"]["image"][0]]
+        )
+        cls()(pred, data, 0, axs)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+    from gluefactory_tpu.visualization.visualize_compare_lgoob import (
+        make_compare_figures,
+    )
+
+    pred_b = dict(pred, matches0=np.full((B, N), -1))
+    figs = make_compare_figures(pred, pred_b, data, labels=("ours", "baseline"))
+    assert "compare_0" in figs
+    plt.close("all")
+
+
+def test_viz2d_colormaps_and_grid():
+    from gluefactory_tpu.visualization.viz2d import (
+        cm_BlRdGn,
+        cm_RdBl,
+        cm_grad2d,
+        cm_ranking,
+        plot_image_grid,
+    )
+
+    rng = np.random.RandomState(2)
+    assert cm_RdBl(np.linspace(0, 1, 5)).shape == (5, 3)
+    assert cm_BlRdGn(np.linspace(-1, 1, 7)).shape == (7, 4)
+    assert cm_grad2d(rng.rand(10, 2)).shape == (10, 3)
+    assert len(cm_ranking(np.arange(2000))) == 2000
+    axs = plot_image_grid([[rng.rand(24, 32)], [rng.rand(24, 32)]])
+    assert axs.shape == (2, 1)
+    fig, axs = plot_image_grid(
+        [[rng.rand(24, 32, 3), rng.rand(24, 32, 3)]], return_fig=True
+    )
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
