@@ -71,6 +71,65 @@ class _HomographyTorchlessDataset:
         self.photo_aug = augmentations[conf.photometric["name"]](conf.photometric)
         ps = conf.homography["patch_shape"]
         self.patch_shape = (int(ps[0]), int(ps[1]))
+        self._feature_file = None
+
+    def _load_cached_features(self, name: str) -> dict | None:
+        """Per-image features from an exported HDF5 cache
+        (reference `homographies.py:447-458`; produced by
+        `scripts/export_local_features.py`)."""
+        lf = self.conf.get("load_features")
+        if not lf or not lf.get("do", False):
+            return None
+        if self._feature_file is None:
+            import h5py
+
+            path = Path(lf["path"])
+            if not path.is_absolute():
+                path = DATA_PATH / path
+            self._feature_file = h5py.File(str(path), "r")
+        f = self._feature_file
+        key = name if name in f else Path(name).name
+        if key not in f:
+            return None
+        return {k: v.__array__() for k, v in f[key].items()}
+
+    def _warp_cached_features(self, feats: dict, H: np.ndarray) -> dict:
+        """Warp cached base-image keypoints into a sampled view, filter to
+        the patch, threshold, top-k, and pad fixed-K
+        (reference `homographies.py:460-492`)."""
+        from ..geometry.homography import warp_points_np
+        from ..models.utils.misc import pad_features_np
+
+        lf = self.conf["load_features"]
+        kpts = np.asarray(feats["keypoints"], np.float32).reshape(-1, 2)
+        scores = np.asarray(feats["keypoint_scores"], np.float32).reshape(-1)
+        desc = np.asarray(feats["descriptors"], np.float32).reshape(len(kpts), -1)
+        if "keypoint_valid" in feats:
+            keep = np.asarray(feats["keypoint_valid"]).astype(bool).reshape(-1)
+            kpts, scores, desc = kpts[keep], scores[keep], desc[keep]
+
+        warped = warp_points_np(kpts, H, inverse=False)
+        w, h = self.patch_shape
+        inb = (
+            (warped[:, 0] >= 0)
+            & (warped[:, 0] <= w - 1)
+            & (warped[:, 1] >= 0)
+            & (warped[:, 1] <= h - 1)
+        )
+        th = lf.get("thresh", -1)
+        if th > 0:
+            inb &= scores >= th
+        warped, scores, desc = warped[inb], scores[inb], desc[inb]
+        k = int(lf.get("max_num_keypoints", -1))
+        if k <= 0:
+            k = max(len(warped), 1)
+        out_k, out_s, out_d, valid = pad_features_np(warped, scores, desc, k)
+        return {
+            "keypoints": out_k,
+            "keypoint_scores": out_s,
+            "descriptors": out_d,
+            "keypoint_valid": valid,
+        }
 
     def __len__(self):
         return len(self.image_paths)
@@ -125,17 +184,23 @@ class _HomographyTorchlessDataset:
             if not isinstance(self.image_paths[idx], np.ndarray)
             else f"synthetic/{idx}"
         )
+        view0 = {
+            "image": img0.astype(np.float32),
+            "image_size": size.copy(),
+            "H_": H0.astype(np.float32),
+        }
+        view1 = {
+            "image": img1.astype(np.float32),
+            "image_size": size.copy(),
+            "H_": H1.astype(np.float32),
+        }
+        feats = self._load_cached_features(Path(name).name)
+        if feats is not None:
+            view0["cache"] = self._warp_cached_features(feats, H0)
+            view1["cache"] = self._warp_cached_features(feats, H1)
         return {
-            "view0": {
-                "image": img0.astype(np.float32),
-                "image_size": size.copy(),
-                "H_": H0.astype(np.float32),
-            },
-            "view1": {
-                "image": img1.astype(np.float32),
-                "image_size": size.copy(),
-                "H_": H1.astype(np.float32),
-            },
+            "view0": view0,
+            "view1": view1,
             "H_0to1": H_0to1,
             "idx": idx,
             "name": Path(name).name,
@@ -160,6 +225,15 @@ class HomographyDataset(BaseDataset):
         },
         "photometric": {"name": "lg", "p": 0.95},
         "synthetic": {"enable": False, "num_images": 200, "size": [640, 480]},
+        # cached-feature training (reference `homographies.py:460-530`):
+        # load exported per-image features and warp them through the sampled
+        # homographies instead of extracting on the fly
+        "load_features": {
+            "do": False,
+            "path": "exports/features.h5",  # relative to DATA_PATH
+            "max_num_keypoints": 1024,
+            "thresh": -1.0,
+        },
     }
 
     def _init(self, conf):

@@ -60,6 +60,85 @@ def sample_depth_callback(pred, data):
     }
 
 
+def _load_depth_file(path: Path) -> np.ndarray | None:
+    try:
+        sp = str(path)
+        if sp.endswith(".h5") or sp.endswith(".hdf5"):
+            import h5py
+
+            with h5py.File(sp, "r") as f:
+                key = "depth" if "depth" in f else list(f.keys())[0]
+                return f[key].__array__().astype(np.float32)
+        if sp.endswith(".npz"):
+            with np.load(sp) as d:
+                depth = d["depth"].astype(np.float32)
+                if "mask" in d:
+                    depth = np.where(d["mask"].astype(bool), depth, 0.0)
+                return depth
+        return np.load(sp).astype(np.float32)
+    except Exception as e:  # pragma: no cover - corrupt files
+        logger.warning(f"cannot read depth {path}: {e}")
+        return None
+
+
+def run_image_export(items, model_conf, output: Path, resize=1024, with_depth=False):
+    """Shared image-list export core used by the per-dataset exporters
+    (`export_megadepth.py`, `export_endomapper_dense.py`).
+
+    items: iterable of (key, image_path, depth_path|None). Extracts with a
+    shape-bucketed jit, optionally samples keypoint depths from the depth
+    file (reference `export_megadepth.py:137-177` sample_depth), writes
+    `keypoints/keypoint_scores/descriptors[/depth_keypoints]` per key.
+    """
+    import h5py
+
+    from ..geometry.depth import sample_depth_bilinear
+    from ..utils.image import ImagePreprocessor, read_image
+
+    model = get_model(model_conf["name"]).from_conf(dict(model_conf))
+    pre = ImagePreprocessor({"resize": resize, "side": "long", "square_pad": False})
+    variables = None
+    jitted = {}
+    output.parent.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with h5py.File(str(output), "w") as out_f:
+        for key, img_path, depth_path in items:
+            img = read_image(img_path, False)
+            out = pre(img)
+            arrays = {
+                "image": jnp.asarray(out["image"])[None],
+                "image_size": jnp.asarray(out["image_size"], jnp.float32)[None],
+            }
+            shape = arrays["image"].shape
+            if shape not in jitted:
+                if variables is None:
+                    variables = model.init(jax.random.PRNGKey(0), arrays)
+                jitted[shape] = jax.jit(lambda v, d: model.apply(v, d))
+            pred = jitted[shape](variables, arrays)
+            kpts = np.asarray(pred["keypoints"][0])
+            # keypoints back in original-image pixels (de-scale)
+            scales = np.asarray(out["scales"], np.float32)
+            rec = {
+                "keypoints": (kpts / scales).astype(np.float32),
+                "keypoint_scores": np.asarray(pred["keypoint_scores"][0]),
+                "descriptors": np.asarray(pred["descriptors"][0]),
+                "keypoint_valid": np.asarray(pred["keypoint_valid"][0]),
+            }
+            if with_depth and depth_path is not None:
+                depth = _load_depth_file(depth_path)
+                if depth is not None:
+                    d, valid = sample_depth_bilinear(
+                        jnp.asarray(depth)[None], jnp.asarray(rec["keypoints"])[None]
+                    )
+                    rec["depth_keypoints"] = np.asarray(d[0], np.float32)
+                    rec["valid_depth_keypoints"] = np.asarray(valid[0])
+            grp = out_f.create_group(key)
+            for k, v in rec.items():
+                grp.create_dataset(k, data=v)
+            n += 1
+    return n
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--dataset", type=str, default="image_folder")
