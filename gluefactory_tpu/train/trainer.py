@@ -53,6 +53,9 @@ default_train_conf = {
     "median_metrics": [],
     "recall_metrics": {},
     "pr_metrics": {},
+    # fork diagnostics (reference `train.py:125-170,280-299`)
+    "eval_overlap_bins": None,  # [[lo, hi], ...] -> per-bin metric buckets
+    "log_metrics_path": None,  # TSV filename under the experiment dir
     "best_key": "loss/total",
     "dataset_callback_fn": None,
     "dataset_callback_on_val": False,
@@ -197,20 +200,74 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
     return train_step, eval_step
 
 
-def do_evaluation(eval_step, params, loader, mesh, conf):
-    """Stream val loss/metrics into accumulators (reference `train.py:99-313`)."""
+def do_evaluation(eval_step, params, loader, mesh, conf, step=None, log_dir=None):
+    """Stream val loss/metrics into accumulators (reference `train.py:99-313`).
+
+    Fork diagnostics:
+      - `conf.eval_overlap_bins` ([[lo, hi], ...]): per-overlap-bin metric
+        buckets reported as `overlap_{lo}_{hi}/<metric>` (reference
+        `train.py:125-170, 280-299`) — exposes easy/hard-pair regressions a
+        single average hides.
+      - `conf.log_metrics_path`: per-pair TSV appended under the experiment
+        dir with step/index/name/overlap and the per-pair metrics.
+    """
     results = defaultdict(AverageMetric)
     medians = defaultdict(MedianMetric)
+    bins = [
+        (float(lo), float(hi), f"overlap_{float(lo):.2f}_{float(hi):.2f}")
+        for lo, hi in (conf.get("eval_overlap_bins") or [])
+    ]
+    bin_acc = {name: defaultdict(AverageMetric) for _, _, name in bins}
+    log_file = None
+    if conf.get("log_metrics_path") and log_dir is not None:
+        path = Path(log_dir) / str(conf.log_metrics_path)
+        write_header = not path.exists() or path.stat().st_size == 0
+        log_file = path.open("a", encoding="ascii")
+        log_keys = None
+
+    idx_base = 0
     for data in loader:
-        data = prepare_batch(data, mesh)
-        losses, metrics = eval_step(params, data)
+        sharded = prepare_batch(data, mesh)
+        losses, metrics = eval_step(params, sharded)
+        overlap = data.get("overlap_0to1")
+        overlap = None if overlap is None else np.asarray(overlap).reshape(-1)
         for k, v in {**losses, **metrics}.items():
             v = np.asarray(v)
             results[f"loss/{k}" if k in losses else k].update(v)
             if k in conf.median_metrics:
                 medians[f"{k}_median"].update(v)
+            if overlap is not None and k not in losses and v.shape == overlap.shape:
+                for lo, hi, name in bins:
+                    mask = (overlap >= lo) & (overlap < hi)
+                    if mask.any():
+                        bin_acc[name][k].update(v[mask])
+        if log_file is not None:
+            names = data.get("name")
+            per_pair = {
+                k: np.asarray(v)
+                for k, v in metrics.items()
+                if np.asarray(v).ndim == 1
+            }
+            if log_keys is None:
+                log_keys = sorted(per_pair)
+                if write_header:
+                    log_file.write(
+                        "step\tindex\tname\toverlap\t" + "\t".join(log_keys) + "\n"
+                    )
+            B = len(next(iter(per_pair.values()))) if per_pair else 0
+            for b in range(B):
+                name = names[b] if names is not None else ""
+                ov = f"{overlap[b]:.4f}" if overlap is not None else ""
+                vals = "\t".join(f"{per_pair[k][b]:.6f}" for k in log_keys)
+                log_file.write(f"{step}\t{idx_base + b}\t{name}\t{ov}\t{vals}\n")
+        idx_base += int(np.asarray(data["idx"]).size) if "idx" in data else 1
+    if log_file is not None:
+        log_file.close()
     out = {k: m.compute() for k, m in results.items()}
     out.update({k: m.compute() for k, m in medians.items()})
+    for _, _, name in bins:
+        for k, m in bin_acc[name].items():
+            out[f"{name}/{k}"] = m.compute()
     return out
 
 
@@ -388,7 +445,8 @@ def training(conf: Config, output_dir: Path, args=None):
                     stop_flag["stop"]
                 ):
                     results = do_evaluation(
-                        eval_step, state.params, val_loader, mesh, train_conf
+                        eval_step, state.params, val_loader, mesh, train_conf,
+                        step=n_iter, log_dir=output_dir,
                     )
                     # lead with the headline keys, then the rest
                     head = [

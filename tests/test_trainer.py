@@ -116,3 +116,45 @@ def test_frozen_extractor_params_not_updated(tiny_conf, tmp_path):
     ex1 = jax.tree_util.tree_leaves(state.params["params"]["extractor"])
     for a, b in zip(ex0, ex1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_do_evaluation_overlap_bins_and_tsv(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.train.trainer import do_evaluation
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+
+    def eval_step(params, data):
+        m = jnp.asarray(data["overlap_0to1"], jnp.float32)
+        return {"total": m}, {"match_recall": m * 2}
+
+    loader = [
+        {
+            "overlap_0to1": np.array([0.2, 0.6]),
+            "name": ["a/x_y", "a/y_z"],
+            "idx": np.array([0, 1]),
+        },
+        {
+            "overlap_0to1": np.array([0.8, 0.4]),
+            "name": ["b/x_y", "b/y_z"],
+            "idx": np.array([2, 3]),
+        },
+    ]
+    conf = Config(
+        {
+            "median_metrics": [],
+            "eval_overlap_bins": [[0.0, 0.5], [0.5, 1.0]],
+            "log_metrics_path": "val_pairs.tsv",
+        }
+    )
+    out = do_evaluation(eval_step, {}, loader, mesh, conf, step=7, log_dir=tmp_path)
+    assert out["overlap_0.00_0.50/match_recall"] == pytest.approx((0.4 + 0.8) / 2)
+    assert out["overlap_0.50_1.00/match_recall"] == pytest.approx((1.2 + 1.6) / 2)
+    tsv = (tmp_path / "val_pairs.tsv").read_text().strip().splitlines()
+    assert tsv[0].startswith("step\tindex\tname\toverlap")
+    assert len(tsv) == 5
+    assert tsv[1].split("\t")[:3] == ["7", "0", "a/x_y"]
