@@ -88,6 +88,40 @@ class SIFT(BaseModel):
         k = int(self.conf.max_num_keypoints)
         conf = self.conf
 
+        if conf.backend == "device":
+            # fully on-device DoG pyramid (CudaSift-equivalent fast path,
+            # `ops/sift_device.py`) — no host round-trip, pure XLA
+            from ...ops.sift_device import detect_sift_device
+
+            pred = detect_sift_device(
+                image[..., 0],
+                max_num_keypoints=k,
+                num_octaves=int(conf.num_octaves),
+                contrast_th=float(conf.detection_threshold),
+                edge_th=float(conf.edge_threshold),
+            )
+            if conf.rootsift:
+                d = pred["descriptors"]
+                d = d / jnp.maximum(
+                    jnp.sum(jnp.abs(d), axis=-1, keepdims=True), 1e-8
+                )
+                d = jnp.sqrt(jnp.maximum(d, 0.0))
+                d = d / jnp.maximum(
+                    jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-8
+                )
+                pred["descriptors"] = d
+            valid = pred["keypoint_valid"]
+            if "image_size" in data:
+                inside = jnp.all(
+                    pred["keypoints"] < data["image_size"][:, None, :], axis=-1
+                )
+                valid = valid & inside
+            pred["keypoint_valid"] = valid
+            pred["descriptors"] = jnp.where(
+                valid[..., None], pred["descriptors"], 0.0
+            )
+            return pred
+
         def host_fn(imgs):
             sift = cv2.SIFT_create(
                 contrastThreshold=float(conf.detection_threshold),
