@@ -21,14 +21,21 @@ def simple_nms(scores: jnp.ndarray, radius: int, iters: int = 2) -> jnp.ndarray:
     """
 
     def max_pool(x):
-        return jax.lax.reduce_window(
-            x,
-            -jnp.inf,
-            jax.lax.max,
-            window_dimensions=(1,) * (x.ndim - 2) + (2 * radius + 1, 2 * radius + 1),
+        # separable: a (2r+1)^2 max == row-max then col-max of (2r+1)
+        # windows — identical result, (2r+1)x fewer comparisons, and the 1D
+        # windows map onto the VPU's lane reductions
+        ones = (1,) * (x.ndim - 2)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=ones + (2 * radius + 1, 1),
             window_strides=(1,) * x.ndim,
-            padding=[(0, 0)] * (x.ndim - 2)
-            + [(radius, radius), (radius, radius)],
+            padding=[(0, 0)] * (x.ndim - 2) + [(radius, radius), (0, 0)],
+        )
+        return jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max,
+            window_dimensions=ones + (1, 2 * radius + 1),
+            window_strides=(1,) * x.ndim,
+            padding=[(0, 0)] * (x.ndim - 2) + [(0, 0), (radius, radius)],
         )
 
     zeros = jnp.zeros_like(scores)
