@@ -11,3 +11,8 @@ extension the north star asks for.
 from .triangulation import triangulate_nview, triangulate_two_view  # noqa: F401
 from .ba import bundle_adjust, reprojection_residuals  # noqa: F401
 from .pose_graph import optimize_pose_graph  # noqa: F401
+from .odometry import (  # noqa: F401
+    chain_poses,
+    relative_poses_from_matches,
+    trajectory_ate,
+)

@@ -25,14 +25,28 @@ def hat(w: jnp.ndarray) -> jnp.ndarray:
 
 
 def _abc(theta2):
-    """A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3, NaN-safe."""
-    small = theta2 < 1e-8
-    t2s = jnp.where(small, 1.0, theta2)  # safe denominator
+    """A = sin(t)/t, B = (1-cos t)/t^2, C = (t - sin t)/t^3, NaN-safe.
+
+    B uses the half-angle identity 1-cos t = 2 sin^2(t/2), which never
+    cancels (the naive form underflows to 0 in f32 for t < ~3e-4 while
+    theta2 stays representable — a divide-by-zero trap for any threshold).
+    C switches to its Taylor series below t=0.1 where (t - sin t) cancels.
+    """
+    tiny = theta2 < 1e-12
+    t2s = jnp.where(tiny, 1.0, theta2)  # safe denominator
     t = jnp.sqrt(t2s)
-    A = jnp.where(small, 1.0 - theta2 / 6.0, jnp.sin(t) / t)
-    B = jnp.where(small, 0.5 - theta2 / 24.0, (1.0 - jnp.cos(t)) / t2s)
-    C = jnp.where(small, 1.0 / 6.0 - theta2 / 120.0, (t - jnp.sin(t)) / (t2s * t))
-    return small, t2s, A, B, C
+    A = jnp.where(tiny, 1.0 - theta2 / 6.0, jnp.sin(t) / t)
+    half = 0.5 * t
+    B = jnp.where(
+        tiny, 0.5 - theta2 / 24.0, 0.5 * (jnp.sin(half) / half) ** 2
+    )
+    small_c = theta2 < 0.01
+    C = jnp.where(
+        small_c,
+        1.0 / 6.0 - theta2 / 120.0 + theta2 * theta2 / 5040.0,
+        (t - jnp.sin(t)) / (t2s * t),
+    )
+    return tiny, t2s, A, B, C
 
 
 def so3_exp(w: jnp.ndarray) -> jnp.ndarray:
@@ -82,11 +96,14 @@ def se3_log(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Inverse of se3_exp: (R, t) -> (..., 6) [v, w]."""
     w = so3_log(R)
     theta2 = jnp.sum(w * w, -1)
-    small, t2s, A, B, _ = _abc(theta2)
+    _, t2s, A, B, _ = _abc(theta2)
     W = hat(w)
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    # V^{-1} = I - W/2 + coef W^2,  coef = (1 - A/(2B)) / theta^2
-    B_safe = jnp.where(small, 1.0, B)
+    # V^{-1} = I - W/2 + coef W^2,  coef = (1 - A/(2B)) / theta^2.
+    # 1 - A/(2B) ~ theta^2/12 cancels catastrophically in f32 below
+    # theta ~ 0.03, so the Taylor branch extends to theta2 < 1e-3.
+    small = theta2 < 1e-3
+    B_safe = jnp.where(B > 1e-6, B, 1.0)
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta2 / 720.0,

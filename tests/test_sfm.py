@@ -177,3 +177,87 @@ def test_pose_graph_closes_loop():
         tn - jnp.einsum("kij,klj,kl->ki", Rn, Rs_gt, ts_gt),
     )
     assert float(jnp.max(jnp.linalg.norm(err, axis=-1))) < 1e-4
+
+
+def test_odometry_trajectory_ate():
+    """Sequence of noisy matched pairs -> 5pt relative poses -> chained
+    trajectory -> pose-graph refinement with a loop closure -> ATE within
+    bound (the north-star trajectory pipeline end to end)."""
+    from gluefactory_tpu.sfm.lie import se3_compose, se3_inverse
+    from gluefactory_tpu.sfm.odometry import (
+        chain_poses,
+        refine_trajectory,
+        relative_poses_from_matches,
+        trajectory_ate,
+    )
+
+    rng = np.random.RandomState(5)
+    K = 6
+    # GT trajectory: arc with small rotations
+    Rs_gt, ts_gt = [], []
+    for k in range(K):
+        w = np.array([0.02 * k, 0.12 * k, -0.01 * k])
+        R = np.asarray(so3_exp(jnp.asarray(w, jnp.float32)))
+        c = np.array([0.4 * k, 0.05 * np.sin(k), 0.1 * k])
+        Rs_gt.append(R)
+        ts_gt.append(-R @ c)
+    Rs_gt = jnp.asarray(np.stack(Rs_gt), jnp.float32)
+    ts_gt = jnp.asarray(np.stack(ts_gt), jnp.float32)
+
+    # matched normalized points for consecutive pairs + one loop closure
+    pts_w = rng.randn(400, 3) * np.array([3.0, 2.0, 1.5]) + np.array([1.0, 0, 8.0])
+    edges = [(k, k + 1) for k in range(K - 1)] + [(0, K - 1)]
+    P0, P1, V = [], [], []
+    N = 256
+    for a, b in edges:
+        pa = pts_w @ np.asarray(Rs_gt[a]).T + np.asarray(ts_gt[a])
+        pb = pts_w @ np.asarray(Rs_gt[b]).T + np.asarray(ts_gt[b])
+        ok = (pa[:, 2] > 0.5) & (pb[:, 2] > 0.5)
+        ia = np.where(ok)[0][:N]
+        p0 = pa[ia, :2] / pa[ia, 2:]
+        p1 = pb[ia, :2] / pb[ia, 2:]
+        p0 += rng.randn(*p0.shape) * 5e-4
+        p1 += rng.randn(*p1.shape) * 5e-4
+        pad = N - len(p0)
+        P0.append(np.pad(p0, ((0, pad), (0, 0))))
+        P1.append(np.pad(p1, ((0, pad), (0, 0))))
+        V.append(np.pad(np.ones(len(p0), bool), (0, pad)))
+    P0, P1, V = map(np.stack, (P0, P1, V))
+
+    R_rel, t_rel, success, _ = relative_poses_from_matches(
+        jax.random.PRNGKey(0),
+        jnp.asarray(P0, jnp.float32),
+        jnp.asarray(P1, jnp.float32),
+        jnp.asarray(V),
+    )
+    assert bool(jnp.all(success))
+
+    # fix per-edge monocular scale from GT edge lengths (odometry-eval
+    # convention), chain the K-1 odometry edges
+    scales = []
+    for a, b in edges[: K - 1]:
+        R_ab = np.asarray(Rs_gt[b] @ Rs_gt[a].T)
+        scales.append(np.linalg.norm(np.asarray(ts_gt[b]) - R_ab @ np.asarray(ts_gt[a])))
+    Rs0, ts0 = chain_poses(R_rel[: K - 1], t_rel[: K - 1], jnp.asarray(scales, jnp.float32))
+
+    ate0, _ = trajectory_ate(Rs0, ts0, Rs_gt, ts_gt)
+
+    # pose-graph refinement with all edges incl. the loop closure
+    ea = jnp.asarray([a for a, _ in edges], jnp.int32)
+    eb = jnp.asarray([b for _, b in edges], jnp.int32)
+    scl = jnp.asarray(
+        scales + [float(np.linalg.norm(np.asarray(
+            ts_gt[K - 1] - (Rs_gt[K - 1] @ Rs_gt[0].T) @ ts_gt[0]
+        )))],
+        jnp.float32,
+    )
+    # measured T_ab with x_a = T_ab x_b convention: T_ab = T_a T_b^{-1};
+    # ransac gives T_{b<-a}; invert
+    Rm, tm = se3_inverse(R_rel, t_rel * scl[:, None])
+    Rn, tn, info = refine_trajectory(Rs0, ts0, ea, eb, Rm, tm)
+    ate1, _ = trajectory_ate(Rn, tn, Rs_gt, ts_gt)
+
+    # chained odometry is decent, refined trajectory is tight
+    assert ate0 < 0.1, ate0
+    assert ate1 <= ate0 + 1e-6
+    assert ate1 < 0.02, (ate0, ate1)
