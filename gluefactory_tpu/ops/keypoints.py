@@ -70,12 +70,15 @@ def top_k_keypoints(
     matching the reference's force_num_keypoints padding semantics
     (`superpoint_open.py:194-207`).
 
-    Perf: `lax.top_k` over the full H*W map is the hot spot (~7 ms/batch on
-    v5e at 640x480). When `nms_radius >= 2`, NMS guarantees surviving maxima
-    are >= nms_radius+1 px apart, so at most ONE survivor falls in any b x b
-    block with (b-1)*sqrt(2) <= nms_radius: reduce each block to its max
-    (cheap VPU reshape-max), run top-k on the b^2-times-smaller map, and
-    reconstruct exact coordinates via the block argmax. Exact, not a
+    Perf: `lax.top_k` over the full H*W map is the hot spot. When
+    `nms_radius >= 2`, NMS guarantees surviving maxima are >= nms_radius+1
+    px apart, so at most ONE survivor falls in any b x b block with
+    (b-1)*sqrt(2) <= nms_radius. The block maxima come from a strided
+    reduce_window (layout-friendly; a reshape+transpose with inner dims of
+    b is ~10x slower on TPU because it fights the (8, 128) tiling),
+    selection uses `approx_max_k` (the TPU PartialReduce custom call,
+    exact at recall_target=1.0), and the within-block offsets are
+    recovered by gathering only the k selected blocks. Exact, not a
     heuristic.
     """
     H, W = scores.shape[-2:]
@@ -85,22 +88,46 @@ def top_k_keypoints(
             if (cand - 1) * 1.41422 <= nms_radius and H % cand == 0 and W % cand == 0:
                 b = cand
                 break
+
+    def topk_flat(x, kk):
+        # approx_max_k is exact at recall 1.0 but only approximately sorted;
+        # ordering does not matter downstream (fixed-K masked sets). The
+        # axon tunnel reports backend "axon", not "tpu" — anything non-CPU
+        # gets the TPU PartialReduce path.
+        if jax.default_backend() != "cpu":
+            return jax.lax.approx_max_k(x, kk, recall_target=1.0)
+        return jax.lax.top_k(x, kk)
+
     if b > 1:
         Hb, Wb = H // b, W // b
-        blocks = scores.reshape(scores.shape[:-2] + (Hb, b, Wb, b))
-        blocks = jnp.moveaxis(blocks, -3, -2)  # (..., Hb, Wb, b, b)
-        blocks_flat = blocks.reshape(scores.shape[:-2] + (Hb * Wb, b * b))
-        bmax = jnp.max(blocks_flat, axis=-1)  # (..., Hb*Wb)
-        barg = jnp.argmax(blocks_flat, axis=-1)  # offset within block
-        vals, idx = jax.lax.top_k(bmax, k)  # over the reduced map
-        sub = jnp.take_along_axis(barg, idx, axis=-1)
+        lead = scores.shape[:-2]
+        ones = (1,) * len(lead)
+        bmax = jax.lax.reduce_window(
+            scores, -jnp.inf, jax.lax.max,
+            window_dimensions=ones + (b, b),
+            window_strides=ones + (b, b),
+            padding=[(0, 0)] * scores.ndim,
+        )  # (..., Hb, Wb)
+        vals, idx = topk_flat(bmax.reshape(lead + (Hb * Wb,)), k)
         by = idx // Wb
         bx = idx % Wb
+        # gather the b*b scores of just the selected blocks to locate the
+        # survivor inside each
+        dy, dx = jnp.meshgrid(jnp.arange(b), jnp.arange(b), indexing="ij")
+        offs = (dy.ravel(), dx.ravel())  # (b*b,)
+        pix = (
+            (by[..., None] * b + offs[0]) * W + bx[..., None] * b + offs[1]
+        )  # (..., k, b*b)
+        flat = scores.reshape(lead + (H * W,))
+        blocks = jnp.take_along_axis(
+            flat, pix.reshape(lead + (-1,)), axis=-1
+        ).reshape(lead + (k, b * b))
+        sub = jnp.argmax(blocks, axis=-1)
         ys = (by * b + sub // b).astype(jnp.float32)
         xs = (bx * b + sub % b).astype(jnp.float32)
     else:
         flat = scores.reshape(scores.shape[:-2] + (H * W,))
-        vals, idx = jax.lax.top_k(flat, k)
+        vals, idx = topk_flat(flat, k)
         ys = (idx // W).astype(jnp.float32)
         xs = (idx % W).astype(jnp.float32)
     kpts = jnp.stack([xs, ys], axis=-1)

@@ -5,8 +5,11 @@ checksum; RPC floor subtracted). Prints ms per B=8 batch for each stage."""
 import json
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 BATCH = 8
 ITERS = 12
@@ -33,7 +36,16 @@ def main():
 
     rng = np.random.RandomState(0)
     w, h = SIZE
-    imgs = jnp.asarray(rng.rand(ITERS, BATCH, h, w, 1), jnp.float32)
+    # realistic scene content (not noise): exercises true NMS/top-k load
+    from gluefactory_tpu.datasets.homographies import generate_synthetic_image
+
+    scenes = np.stack(
+        [
+            np.mean(generate_synthetic_image(rng, w, h), -1, keepdims=True)
+            for _ in range(ITERS * BATCH)
+        ]
+    ).reshape(ITERS, BATCH, h, w, 1)
+    imgs = jnp.asarray(scenes, jnp.float32)
     sz = jnp.broadcast_to(jnp.asarray([float(w), float(h)]), (BATCH, 2))
 
     floor_jit = jax.jit(lambda x: x + 1)

@@ -45,9 +45,11 @@ def main():
         j = jax.jit(run)
         float(jax.device_get(j(x)))
         ts = []
-        for _ in range(4):
+        for i in range(4):
+            # perturb so the tunnel cannot cache-serve a repeated request
+            xi = x.at[0, 0, 0].add(1e-6 * (i + 1))
             t0 = time.perf_counter()
-            float(jax.device_get(j(x)))
+            float(jax.device_get(j(xi)))
             ts.append(time.perf_counter() - t0)
         return max(float(np.median(ts)) - floor, 1e-6) / ITERS * 1000.0
 
