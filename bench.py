@@ -28,6 +28,10 @@ NUM_KPTS = 1024
 
 def main():
     import jax
+
+    # persistent compile cache: repeated driver runs skip the cold XLA compile
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gluefactory_tpu.models import get_model

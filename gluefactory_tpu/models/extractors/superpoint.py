@@ -69,6 +69,141 @@ class VGGBlock(nn.Module):
         return x
 
 
+def _space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), phase-major channel groups
+    ordered (py, px) in ((0,0),(0,1),(1,0),(1,1))."""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // 2, 2, W // 2, 2, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H // 2, W // 2, 4 * C)
+
+
+def _s2d_kernel(K: jnp.ndarray) -> jnp.ndarray:
+    """Rearrange a 3x3 stride-1 SAME kernel (3, 3, Ci, Co) into the
+    equivalent 2x2 kernel (2, 2, 4Ci, 4Co) over the space-to-depth grid.
+
+    Derivation: output pixel (2b+p) of the original conv reads input pixels
+    (2b+p+d-1), d in 0..2; in block coordinates that is block (b-1+t) phase q
+    with d = p + 2t + q - 1. Slots with d outside 0..2 are zero (9/16 of the
+    2x2x(2q)x(2p) slots are live -> 1.78x the MACs, but full 128-lane MXU
+    tiles instead of ~12% utilization at 64 channels).
+    """
+    kh, kw, Ci, Co = K.shape
+    # single gather from the zero-padded kernel (cheap even when XLA's loop
+    # invariant code motion declines to hoist it out of a surrounding scan)
+    Kp = jnp.pad(K, ((1, 1), (1, 1), (0, 0), (0, 0)))  # (5, 5, Ci, Co)
+    r = jnp.arange(2)
+    # idx[t, q, p] = p + 2t + q in padded coordinates (d + 1)
+    idx = r[:, None, None] * 2 + r[None, :, None] + r[None, None, :]
+    K2 = Kp[idx[:, :, :, None, None, None], idx[None, None, None, :, :, :]]
+    # (ty,qy,py,tx,qx,px,Ci,Co) -> (ty,tx, (qy,qx,Ci), (py,px,Co))
+    K2 = K2.transpose(0, 3, 1, 4, 6, 2, 5, 7)
+    return K2.reshape(2, 2, 4 * Ci, 4 * Co)
+
+
+class _ConvParams(nn.Module):
+    """Bare conv parameters with nn.Conv's naming/shapes/init, so a
+    space-to-depth block checkpoints identically to a standard VGGBlock."""
+
+    kh: int
+    kw: int
+    cin: int
+    cout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kh, self.kw, self.cin, self.cout),
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.cout,))
+        return k, b
+
+
+class S2DVGGBlock(nn.Module):
+    """VGGBlock evaluated in space-to-depth layout — same math, same params.
+
+    SuperPoint's early scales run 3x3 convs with 64 channels at full
+    resolution, ~12% MXU utilization on v5e (the perf wall flagged in
+    VERDICT.md item 3). In the (H/2, W/2, 4C) space-to-depth layout the same
+    conv is a 2x2 conv with 4x the channels: full MXU tiles. The kernel
+    rearrangement happens at trace time from the standard (3, 3, Ci, Co)
+    parameter, so checkpoints are interchangeable with VGGBlock.
+
+    Supports norm "none"/"affine" (elementwise, phase-safe). Input/output are
+    phase-major s2d tensors (B, h, w, 4*ch).
+    """
+
+    out_ch: int
+    in_ch: int
+    norm: str = "none"
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, s2d: bool = True):
+        import jax
+
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        K, bias = _ConvParams(3, 3, self.in_ch, self.out_ch, name="conv")()
+        if not s2d:
+            # standard evaluation with the same parameters (odd-sized inputs)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt),
+                K.astype(dt),
+                window_strides=(1, 1),
+                padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = nn.relu(y + bias.astype(dt))
+            if self.norm == "affine":
+                s = self.param("post_scale", nn.initializers.ones, (self.out_ch,))
+                b = self.param("post_bias", nn.initializers.zeros, (self.out_ch,))
+                y = y * s.astype(y.dtype) + b.astype(y.dtype)
+            return y
+        K2 = _s2d_kernel(K).astype(dt)
+        B, h, w, _ = x.shape
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt),
+            K2,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, h+1, w+1, 4*out_ch)
+        y = y + jnp.tile(bias, 4).astype(dt)
+        y = nn.relu(y)
+        if self.norm == "affine":
+            s = self.param("post_scale", nn.initializers.ones, (self.out_ch,))
+            b = self.param("post_bias", nn.initializers.zeros, (self.out_ch,))
+            y = y * jnp.tile(s, 4).astype(y.dtype) + jnp.tile(b, 4).astype(y.dtype)
+        # realign phases: output phase (py, px) lives at block offset (py, px)
+        Co = self.out_ch
+        parts = [
+            y[:, py : py + h, px : px + w, (py * 2 + px) * Co : (py * 2 + px + 1) * Co]
+            for py in (0, 1)
+            for px in (0, 1)
+        ]
+        return jnp.concatenate(parts, axis=-1)
+
+
+def _pallas_conv_available() -> bool:
+    """Fused stage kernel runs on real TPUs (tests force interpret mode)."""
+    import jax
+
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _fused_block_rows(H: int) -> int:
+    """Largest supported row-block size dividing H (0 = incompatible)."""
+    for br in (8, 4, 2):
+        if H % br == 0:
+            return br
+    return 0
+
+
 class SuperPoint(BaseModel):
     default_conf = {
         "descriptor_dim": 256,
@@ -81,6 +216,18 @@ class SuperPoint(BaseModel):
         "refinement_radius": 0,  # soft-argmax sub-pixel refinement
         "dense_outputs": False,
         "dtype": "float32",  # "bfloat16": backbone convs on the MXU in bf16
+        # leading VGG scales computed in space-to-depth layout (exact same
+        # math/params; see S2DVGGBlock). Measured SLOWER than the standard
+        # path on v5e (XLA lowers the 2x2/4C rearranged conv worse than the
+        # direct 3x3), so default off — kept as a tested exact-equivalence
+        # option for other XLA versions/hardware. Requires norm in
+        # ("none", "affine"); odd feature maps fall back per level.
+        "s2d_levels": 0,
+        # leading VGG scales evaluated with the fused Pallas stage kernel
+        # (ops/pallas_conv.py: conv+relu+conv+relu+pool in one HBM pass) at
+        # inference on TPU. Same parameters; bf16-rounding-level numerics.
+        # Requires norm == "none"; levels with incompatible shapes fall back.
+        "fused_stages": 0,
         "weights": None,  # path to a converted checkpoint
     }
     required_data_keys = ("image",)
@@ -91,13 +238,28 @@ class SuperPoint(BaseModel):
         dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
         backbone = []
         # two convs per scale, maxpool between scales (VGG-style)
+        n_s2d = int(c.get("s2d_levels", 0) or 0)
+        if c.norm not in ("none", "affine") or c.get("kernel", 3) != 3:
+            n_s2d = 0  # s2d needs elementwise norms and 3x3 kernels
+        # only scales followed by a pool can fold phases back via the pool max
+        n_s2d = min(n_s2d, len(chs[:-1]) - 1)
+        self.n_s2d = n_s2d
+        in_chs = [1] + chs[:-1]
         for i, ch in enumerate(chs[:-1]):
-            backbone.append(
-                (
-                    VGGBlock(ch, c.norm, c.get("kernel", 3), c.dtype, name=f"b{i}_0"),
-                    VGGBlock(ch, c.norm, c.get("kernel", 3), c.dtype, name=f"b{i}_1"),
+            if i < n_s2d:
+                backbone.append(
+                    (
+                        S2DVGGBlock(ch, in_chs[i], c.norm, c.dtype, name=f"b{i}_0"),
+                        S2DVGGBlock(ch, ch, c.norm, c.dtype, name=f"b{i}_1"),
+                    )
                 )
-            )
+            else:
+                backbone.append(
+                    (
+                        VGGBlock(ch, c.norm, c.get("kernel", 3), c.dtype, name=f"b{i}_0"),
+                        VGGBlock(ch, c.norm, c.get("kernel", 3), c.dtype, name=f"b{i}_1"),
+                    )
+                )
         self.backbone = backbone
         mid = chs[-1]
         self.det_head0 = VGGBlock(mid, c.norm, 3, c.dtype, name="det0")
@@ -113,12 +275,70 @@ class SuperPoint(BaseModel):
             image = jnp.sum(image * scale, axis=-1, keepdims=True)
         B, H, W, _ = image.shape
 
+        # fused Pallas stage path: inference-only (frozen backbone in the
+        # flagship pipeline; training needs the standard path for gradients)
+        n_fused = int(self.conf.get("fused_stages", 0) or 0)
+        use_fused = (
+            not train
+            and not self.is_initializing()
+            and self.conf.norm == "none"
+            and self.conf.get("kernel", 3) == 3
+            and _pallas_conv_available()
+        )
+
         x = image
         for i, (blk0, blk1) in enumerate(self.backbone):
-            x = blk0(x)
-            x = blk1(x)
-            if i < len(self.backbone) - 1:
-                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if (
+                use_fused
+                and i < n_fused
+                and i < len(self.backbone) - 1
+                and x.shape[2] % 2 == 0
+                and _fused_block_rows(x.shape[1]) > 0
+            ):
+                from ...ops.pallas_conv import fused_conv1_pool, fused_conv2_pool
+
+                br = _fused_block_rows(x.shape[1])
+                p1 = blk1.variables["params"]["conv"]
+                if x.shape[-1] == 1:
+                    # 1-channel image input is lane-hostile in Pallas: run
+                    # the first conv in XLA, fuse conv2+relu+pool
+                    x = blk0(x)
+                    x = fused_conv1_pool(
+                        x, p1["kernel"], p1["bias"], block_rows=br
+                    )
+                else:
+                    p0 = blk0.variables["params"]["conv"]
+                    x = fused_conv2_pool(
+                        x,
+                        p0["kernel"],
+                        p0["bias"],
+                        p1["kernel"],
+                        p1["bias"],
+                        block_rows=br,
+                    )
+                continue
+            if (
+                i < self.n_s2d
+                and x.shape[1] % 2 == 0
+                and x.shape[2] % 2 == 0
+            ):
+                # space-to-depth scale: conv in (h/2, w/2, 4C) layout; the
+                # trailing 2x2 max-pool is exactly the max over the 4 phases
+                x = _space_to_depth(x)
+                x = blk0(x)
+                x = blk1(x)
+                b, h, w, c4 = x.shape
+                x = jnp.max(x.reshape(b, h, w, 4, c4 // 4), axis=3)
+            else:
+                if i < self.n_s2d:
+                    # odd feature map: same params, standard evaluation
+                    x = blk0(x, s2d=False)
+                    x = blk1(x, s2d=False)
+                else:
+                    x = blk0(x)
+                    x = blk1(x)
+                if i < len(self.backbone) - 1:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
         # x: (B, H/8, W/8, C)
 
         # detector head: 65 = 8x8 cells + dustbin; pixel-shuffle to full res

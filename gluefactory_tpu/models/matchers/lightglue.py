@@ -53,7 +53,12 @@ def normalize_keypoints(kpts: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
 
 
 class SelfBlock(nn.Module):
-    """Self-attention with rotary positions (reference `lightglue.py:132-166`)."""
+    """Self-attention with rotary positions (reference `lightglue.py:132-166`).
+
+    Operates on BOTH views stacked along the batch axis (2B, N, D): attention
+    is per-batch-element, so view stacking is exact and runs every Dense/
+    attention op once at double width — fewer dispatches, fuller MXU tiles.
+    """
 
     dim: int
     num_heads: int
@@ -70,9 +75,11 @@ class SelfBlock(nn.Module):
         q, k, v = (
             jnp.moveaxis(qkv[..., i], 2, 1) for i in range(3)
         )  # (B, H, N, Dh)
-        # rotary in f32 (positions are precision-sensitive), attention in dt
-        q = apply_cached_rotary_emb(encoding, q.astype(jnp.float32)).astype(dt)
-        k = apply_cached_rotary_emb(encoding, k.astype(jnp.float32)).astype(dt)
+        # rotary in the compute dtype (the reference's autocast applies it in
+        # fp16 too, `lightglue.py:43-47`); f32 when the model runs f32
+        enc = encoding.astype(dt)
+        q = apply_cached_rotary_emb(enc, q)
+        k = apply_cached_rotary_emb(enc, k)
         msg = masked_attention(q, k, v, mask)  # (B, H, N, Dh)
         msg = jnp.moveaxis(msg, 1, 2).reshape(B, N, D).astype(dt)
         msg = nn.Dense(D, dtype=dt, name="out_proj")(msg)
@@ -82,43 +89,44 @@ class SelfBlock(nn.Module):
         y = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(D, dtype=dt, name="ffn1")(y)
-        return (x + y).astype(jnp.float32)
+        return x + y
 
 
 class CrossBlock(nn.Module):
     """Bidirectional cross-attention with shared QK
-    (reference `lightglue.py:167-215`)."""
+    (reference `lightglue.py:167-215`).
+
+    Takes the stacked (2B, N, D) view tensor; only the attention itself
+    splits into the two views — projections and FFN run stacked.
+    """
 
     dim: int
     num_heads: int
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x0, x1, mask0, mask1):
-        B, N, D = x0.shape
+    def __call__(self, x, mask0, mask1):
+        B2, N, D = x.shape
+        B = B2 // 2
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
-        x0 = x0.astype(dt)
-        x1 = x1.astype(dt)
-        to_qk = nn.Dense(D, dtype=dt, name="to_qk")
-        to_v = nn.Dense(D, dtype=dt, name="to_v")
-        qk0 = to_qk(x0).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
-        qk1 = to_qk(x1).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
-        v0 = to_v(x0).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
-        v1 = to_v(x1).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
-        m0, m1 = bidirectional_cross_attention(qk0, qk1, v0, v1, mask0, mask1)
-        out_proj = nn.Dense(D, dtype=dt, name="out_proj")
-        m0 = out_proj(m0.transpose(0, 2, 1, 3).reshape(B, -1, D).astype(dt))
-        m1 = out_proj(m1.transpose(0, 2, 1, 3).reshape(B, -1, D).astype(dt))
-        ffn0 = nn.Dense(2 * D, dtype=dt, name="ffn0")
-        ffn_norm = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")
-        ffn1 = nn.Dense(D, dtype=dt, name="ffn1")
-
-        def ffn(x, m):
-            y = jnp.concatenate([x, m], axis=-1)
-            return x + ffn1(nn.gelu(ffn_norm(ffn0(y)), approximate=False))
-
-        return ffn(x0, m0).astype(jnp.float32), ffn(x1, m1).astype(jnp.float32)
+        x = x.astype(dt)
+        qk = nn.Dense(D, dtype=dt, name="to_qk")(x)
+        v = nn.Dense(D, dtype=dt, name="to_v")(x)
+        qk = qk.reshape(B2, N, H, D // H).transpose(0, 2, 1, 3)
+        v = v.reshape(B2, N, H, D // H).transpose(0, 2, 1, 3)
+        m0, m1 = bidirectional_cross_attention(
+            qk[:B], qk[B:], v[:B], v[B:], mask0, mask1
+        )
+        msg = jnp.concatenate([m0, m1], axis=0)  # (2B, H, N, Dh)
+        msg = msg.transpose(0, 2, 1, 3).reshape(B2, N, D).astype(dt)
+        msg = nn.Dense(D, dtype=dt, name="out_proj")(msg)
+        y = jnp.concatenate([x, msg], axis=-1)
+        y = nn.Dense(2 * D, dtype=dt, name="ffn0")(y)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")(y)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dense(D, dtype=dt, name="ffn1")(y)
+        return x + y
 
 
 class MatchAssignment(nn.Module):
@@ -130,19 +138,27 @@ class MatchAssignment(nn.Module):
     """
 
     dim: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x0, x1, mask0, mask1, compute_scores=None):
         d = self.dim
-        proj = nn.Dense(d, name="final_proj")
-        mdesc0 = proj(x0) / d**0.25
-        mdesc1 = proj(x1) / d**0.25
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        proj = nn.Dense(d, dtype=dt, name="final_proj")
+        mdesc0 = proj(x0.astype(dt)) / d**0.25
+        mdesc1 = proj(x1.astype(dt)) / d**0.25
         matchability = nn.Dense(1, name="matchability")
-        z0 = matchability(x0)[..., 0]
-        z1 = matchability(x1)[..., 0]
+        z0 = matchability(x0.astype(jnp.float32))[..., 0]
+        z1 = matchability(x1.astype(jnp.float32))[..., 0]
 
         def heavy(_):
-            sim = jnp.einsum("bnd,bmd->bnm", mdesc0, mdesc1)
+            # bf16 operands, f32 MXU accumulation; softmax math stays f32
+            sim = jnp.einsum(
+                "bnd,bmd->bnm",
+                mdesc0,
+                mdesc1,
+                preferred_element_type=jnp.float32,
+            )
             return sigmoid_log_double_softmax(sim, z0, z1, mask0, mask1)
 
         B, N = x0.shape[:2]
@@ -150,12 +166,12 @@ class MatchAssignment(nn.Module):
         if compute_scores is None or compute_scores is True:
             scores = heavy(None)
         elif compute_scores is False:  # static skip (adaptive-depth body)
-            scores = jnp.full((B, N, M), -1e9, mdesc0.dtype)
+            scores = jnp.full((B, N, M), -1e9, jnp.float32)
         else:
             scores = jax.lax.cond(
                 compute_scores,
                 heavy,
-                lambda _: jnp.full((B, N, M), -1e9, mdesc0.dtype),
+                lambda _: jnp.full((B, N, M), -1e9, jnp.float32),
                 None,
             )
         return scores, z0, z1
@@ -170,14 +186,17 @@ class LGLayer(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, carry, xs):
+    def __call__(self, carry, xs, collect_scores: bool = True):
         is_last, conf_th = xs
-        x0, x1, enc0, enc1, mask0, mask1, train_flag = carry
+        # x stacks both views along the batch axis: (2B, N, D)
+        x, enc, mask0, mask1, train_flag = carry
+        B = x.shape[0] // 2
+        mask = jnp.concatenate([mask0, mask1], axis=0)
         self_block = SelfBlock(self.dim, self.num_heads, self.dtype, name="self_attn")
         cross_block = CrossBlock(self.dim, self.num_heads, self.dtype, name="cross_attn")
-        x0 = self_block(x0, enc0, mask0)
-        x1 = self_block(x1, enc1, mask1)
-        x0, x1 = cross_block(x0, x1, mask0, mask1)
+        x = self_block(x, enc, mask)
+        x = cross_block(x, mask0, mask1)
+        x0, x1 = x[:B], x[B:]
         # per-layer heads; the heavy assignment only for training (deep
         # supervision) or the last layer (inference)
         compute = (
@@ -185,15 +204,15 @@ class LGLayer(nn.Module):
             if isinstance(is_last, bool)
             else (train_flag | is_last)
         )
-        scores, z0, z1 = MatchAssignment(self.dim, name="log_assignment")(
+        scores, z0, z1 = MatchAssignment(self.dim, self.dtype, name="log_assignment")(
             x0, x1, mask0, mask1, compute_scores=compute
         )
         # one confidence head shared by both sets (reference `lightglue.py:69`);
         # descriptors are detached so the BCE never trains the transformer
         # (reference TokenConfidence detaches, `lightglue.py:76-83`)
         conf_head = nn.Dense(1, name="token_confidence")
-        conf0 = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x0)))[..., 0]
-        conf1 = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x1)))[..., 0]
+        conf = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x)))[..., 0]
+        conf0, conf1 = conf[:B], conf[B:]
         if self.width_confidence > 0:
             # masked width pruning (reference `get_pruning_mask`,
             # `lightglue.py:560-566`): keep tokens that look matchable
@@ -208,8 +227,15 @@ class LGLayer(nn.Module):
 
             mask0 = prune(conf0, z0, mask0)
             mask1 = prune(conf1, z1, mask1)
-        out = {"scores": scores, "z0": z0, "z1": z1, "conf0": conf0, "conf1": conf1}
-        return (x0, x1, enc0, enc1, mask0, mask1, train_flag), out
+        if collect_scores:
+            out = {"scores": scores, "z0": z0, "z1": z1, "conf0": conf0, "conf1": conf1}
+        else:
+            # inference: the stacked (L, B, N, M) score tensor (and the per-
+            # layer similarity einsum feeding it) would be dead weight — omit
+            # it from the scan outputs so XLA dead-code-eliminates the heavy
+            # head; the exit layer's assignment is applied post-scan.
+            out = {"conf0": conf0, "conf1": conf1}
+        return (x, enc, mask0, mask1, train_flag), out
 
 
 class LightGlue(BaseModel):
@@ -218,10 +244,18 @@ class LightGlue(BaseModel):
         "descriptor_dim": 256,
         "n_layers": 9,
         "num_heads": 4,
+        # append detection scale + orientation to the positional encoding
+        # input (SIFT-style features; reference `lightglue.py:350,441-447`)
+        "add_scale_ori": False,
         "filter_threshold": 0.1,
         "depth_confidence": -1,  # adaptive depth (masked; -1 = off)
         "width_confidence": -1,  # adaptive width via masking (-1 = off)
         "dtype": "float32",  # "bfloat16": transformer compute on the MXU
+        # rematerialize layer activations in the backward pass (the TPU
+        # analog of the reference's per-layer gradient checkpointing,
+        # `lightglue.py:484-492`): big-batch training trades ~30% step time
+        # for O(1)-in-depth activation memory.
+        "remat": False,
         # Tensor parallelism over the keypoint (token) axis (SURVEY.md §5.7):
         # set to a mesh axis name (e.g. "model") and call the model under
         # `jax.sharding.set_mesh(mesh)` — GSPMD sharding constraints anchor
@@ -247,13 +281,17 @@ class LightGlue(BaseModel):
         self.posenc_freqs = self.param(
             "posenc_freqs",
             nn.initializers.normal(stddev=1.0),
-            (2, head_dim // 2),
+            (2 + 2 * int(bool(c.add_scale_ori)), head_dim // 2),
+        )
+        layer_cls = (
+            nn.remat(LGLayer, static_argnums=(3,)) if c.get("remat") else LGLayer
         )
         self.layers = nn.scan(
-            LGLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
+            in_axes=(0, nn.broadcast),  # xs scanned, collect_scores static
         )(D, c.num_heads, float(c.width_confidence), c.dtype, name="layers")
 
     def _forward(self, data: dict, train: bool = False) -> dict:
@@ -278,16 +316,50 @@ class LightGlue(BaseModel):
 
         x0 = self.input_proj(d0)
         x1 = self.input_proj(d1)
+        if c.add_scale_ori:
+            # append raw detection scale + orientation channels to the
+            # positional-encoding input (reference `lightglue.py:441-447`)
+            p0 = jnp.concatenate(
+                [p0, data["scales0"][..., None], data["oris0"][..., None]], -1
+            )
+            p1 = jnp.concatenate(
+                [p1, data["scales1"][..., None], data["oris1"][..., None]], -1
+            )
         enc0 = rotary_emb_2d(p0, self.posenc_freqs)
         enc1 = rotary_emb_2d(p1, self.posenc_freqs)
+
+        # the layer stack processes both views stacked along the batch axis
+        # (exact: attention/norms are per batch element) — pad the token axis
+        # to a common length first when the two sets differ.
+        B, N = x0.shape[:2]
+        M = x1.shape[1]
+        K = max(N, M)
+        if N != M:
+
+            def pad_tokens(a, n):
+                width = [(0, 0)] * a.ndim
+                width[1] = (0, K - n)
+                return jnp.pad(a, width)
+
+            x0p, x1p = pad_tokens(x0, N), pad_tokens(x1, M)
+            enc0p, enc1p = pad_tokens(enc0, N), pad_tokens(enc1, M)
+            mask0p, mask1p = pad_tokens(mask0, N), pad_tokens(mask1, M)
+        else:
+            x0p, x1p, enc0p, enc1p, mask0p, mask1p = (
+                x0, x1, enc0, enc1, mask0, mask1,
+            )
 
         if c.tp_axis:
             # anchor the token axis to the TP mesh axis; the constraint on the
             # scan carry keeps every layer's activations token-sharded, and
             # XLA emits the K/V all-gathers + assignment-softmax collectives.
-            x0, x1, enc0, enc1, mask0, mask1 = self._tp_shard(
-                x0, x1, enc0, enc1, mask0, mask1
+            x0p, x1p, enc0p, enc1p, mask0p, mask1p = self._tp_shard(
+                x0p, x1p, enc0p, enc1p, mask0p, mask1p
             )
+
+        dt = jnp.bfloat16 if c.dtype == "bfloat16" else jnp.float32
+        x = jnp.concatenate([x0p, x1p], axis=0).astype(dt)  # (2B, K, D)
+        enc = jnp.concatenate([enc0p, enc1p], axis=0)
 
         L = c.n_layers
         # per-layer confidence thresholds (reference `confidence_threshold`,
@@ -299,16 +371,31 @@ class LightGlue(BaseModel):
 
         if not train and c.depth_confidence > 0:
             return self._forward_adaptive_depth(
-                x0, x1, enc0, enc1, mask0, mask1, conf_ths
+                x, enc, mask0p, mask1p, (N, M), conf_ths
             )
 
         is_last = jnp.arange(L) == (L - 1)
-        carry = (x0, x1, enc0, enc1, mask0, mask1, jnp.asarray(train))
-        carry, per_layer = self.layers(carry, (is_last, conf_ths))
-        x0, x1 = carry[0], carry[1]
+        carry = (x, enc, mask0p, mask1p, jnp.asarray(train))
+        # training (deep supervision) stacks per-layer scores; at inference
+        # the stacked (L, B, N, M) tensor is omitted from the scan outputs
+        # (dead-code-eliminated) and the exit head runs once post-scan.
+        collect = train or self.is_initializing()
+        carry, per_layer = self.layers(carry, (is_last, conf_ths), collect)
+        x0, x1 = carry[0][:B, :N], carry[0][B:, :M]
+        mask0_f, mask1_f = carry[2][:, :N], carry[3][:, :M]  # after pruning
 
-        # final-layer assignment comes from the scanned per-layer heads
-        scores = per_layer["scores"][-1]
+        if collect:
+            # final-layer assignment comes from the scanned per-layer heads
+            scores = per_layer["scores"][-1][:, :N, :M]
+        else:
+            lparams = self.layers.variables["params"]
+            head = MatchAssignment(c.descriptor_dim, c.dtype, parent=None)
+            p_head = jax.tree_util.tree_map(
+                lambda a: a[-1], lparams["log_assignment"]
+            )
+            scores, _, _ = head.apply(
+                {"params": p_head}, x0, x1, mask0_f, mask1_f, compute_scores=True
+            )
         if c.tp_axis and self._tp_active():
             # rows of the (B, N, M) assignment ride the token sharding
             scores = jax.lax.with_sharding_constraint(
@@ -326,11 +413,11 @@ class LightGlue(BaseModel):
             "matching_scores1": jnp.where(mask1, ms1, 0.0),
         }
         if train:
-            pred["all_log_assignment"] = per_layer["scores"]  # (L, B, N, M)
-            pred["all_conf0"] = per_layer["conf0"]
-            pred["all_conf1"] = per_layer["conf1"]
-            pred["all_z0"] = per_layer["z0"]  # (L, B, N) matchability logits
-            pred["all_z1"] = per_layer["z1"]
+            pred["all_log_assignment"] = per_layer["scores"][:, :, :N, :M]
+            pred["all_conf0"] = per_layer["conf0"][:, :, :N]
+            pred["all_conf1"] = per_layer["conf1"][:, :, :M]
+            pred["all_z0"] = per_layer["z0"][:, :, :N]  # matchability logits
+            pred["all_z1"] = per_layer["z1"][:, :, :M]
             pred["keypoint_valid0"] = mask0
             pred["keypoint_valid1"] = mask1
         return pred
@@ -374,7 +461,7 @@ class LightGlue(BaseModel):
         )
 
     @nn.nowrap
-    def _forward_adaptive_depth(self, x0, x1, enc0, enc1, mask0, mask1, conf_ths):
+    def _forward_adaptive_depth(self, x, enc, mask0, mask1, nm, conf_ths):
         """Inference-only adaptive depth that actually SKIPS layers
         (reference `lightglue.py:500-521,569`): a `lax.while_loop` whose body
         applies one transformer layer with params dynamically sliced from the
@@ -391,6 +478,8 @@ class LightGlue(BaseModel):
         """
         c = self.conf
         L = c.n_layers
+        N, M = nm
+        B = x.shape[0] // 2
         lparams = self.layers.variables["params"]  # stacked (L, ...) trees
         layer_mod = LGLayer(
             c.descriptor_dim,
@@ -399,7 +488,7 @@ class LightGlue(BaseModel):
             c.dtype,
             parent=None,  # standalone template, applied with sliced params
         )
-        valid = jnp.concatenate([mask0, mask1], axis=-1)  # (B, N+M)
+        valid = jnp.concatenate([mask0, mask1], axis=-1)  # (B, 2K)
         num_valid = jnp.maximum(jnp.sum(valid, axis=-1), 1)
 
         def slice_layer(tree, i):
@@ -413,11 +502,11 @@ class LightGlue(BaseModel):
             return (i < L) & ~stop
 
         def body_fn(state):
-            i, _, x0, x1, m0, m1 = state
+            i, _, x, m0, m1 = state
             p_i = slice_layer(lparams, i)
-            carry = (x0, x1, enc0, enc1, m0, m1, jnp.asarray(False))
-            (x0n, x1n, _, _, m0n, m1n, _), out = layer_mod.apply(
-                {"params": p_i}, carry, (False, conf_ths[i])
+            carry = (x, enc, m0, m1, jnp.asarray(False))
+            (xn, _, m0n, m1n, _), out = layer_mod.apply(
+                {"params": p_i}, carry, (False, conf_ths[i]), False
             )
             conf = jnp.concatenate([out["conf0"], out["conf1"]], axis=-1)
             # unconfident tokens among the currently-kept set, over the
@@ -429,17 +518,22 @@ class LightGlue(BaseModel):
             ) / num_valid  # (B,)
             # never stop before the last layer's check; all pairs must agree
             stop = jnp.all(ratio > c.depth_confidence) & (i < L - 1)
-            return (i + 1, stop, x0n, x1n, m0n, m1n)
+            return (i + 1, stop, xn, m0n, m1n)
 
-        init = (jnp.int32(0), jnp.asarray(False), x0, x1, mask0, mask1)
-        i_end, _, x0, x1, mask0p, mask1p = jax.lax.while_loop(
-            cond_fn, body_fn, init
-        )
+        init = (jnp.int32(0), jnp.asarray(False), x, mask0, mask1)
+        i_end, _, x, mask0p, mask1p = jax.lax.while_loop(cond_fn, body_fn, init)
+        x0, x1 = x[:B, :N], x[B:, :M]
+        mask0, mask1 = mask0[:, :N], mask1[:, :M]
 
-        head = MatchAssignment(c.descriptor_dim, parent=None)
+        head = MatchAssignment(c.descriptor_dim, c.dtype, parent=None)
         p_head = slice_layer(lparams["log_assignment"], i_end - 1)
         scores, _, _ = head.apply(
-            {"params": p_head}, x0, x1, mask0p, mask1p, compute_scores=True
+            {"params": p_head},
+            x0,
+            x1,
+            mask0p[:, :N],
+            mask1p[:, :M],
+            compute_scores=True,
         )
         m0, m1, ms0, ms1 = filter_matches(scores, c.filter_threshold)
         m0 = jnp.where(mask0, m0, -1)

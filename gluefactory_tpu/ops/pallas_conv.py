@@ -1,0 +1,171 @@
+"""Fused VGG-stage Pallas kernels: conv3x3(+relu) chains + 2x2 max-pool.
+
+SuperPoint's early scales (reference `superpoint_open.py:61-77,126-144`) are
+the throughput wall on TPU: XLA evaluates each 3x3 conv separately, so the
+full-resolution 64-channel activations (hundreds of MB at 640x480xB8) make
+two HBM round-trips per scale. These kernels stream row blocks through VMEM:
+inter-conv activations never leave the chip and only the (row-)pooled output
+is written back.
+
+Mosaic constraints shaped the design (each was hit in practice):
+  - channel-concat of spatially shifted slices does not lower ("offset
+    mismatch on non-concat dimension") -> convs are per-dy tap-folded
+    matmuls `big_dy = x[dy:] @ [K(dy,0)|K(dy,1)|K(dy,2)]` + shifted adds;
+  - matmul accumulators must be 32-bit -> f32 `big`, VMEM-sized via per-dy
+    folding (N = 3*Cout, not 9*Cout);
+  - manual HBM->VMEM DMA requires 128-aligned minor dims -> halo rows are a
+    separate XLA-gathered input riding the normal BlockSpec pipeline;
+  - lane-merging reshapes / strided sublane gathers do not lower -> the 2x2
+    pool's row half runs in-kernel, the column half outside in XLA;
+  - Cin=1 tensors are lane-hostile -> the image-input conv (conv1a) stays
+    in XLA; fusion starts from the first 64-channel conv.
+
+Inference-only fast path (SuperPoint freezes the backbone in the flagship
+pipeline); training uses the standard XLA convs for gradients.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3x3(xt, kfold, bias, rows_out, W, ch):
+    """3x3 SAME conv via per-dy tap-folded matmuls + shifted adds.
+
+    xt: (rows_out+2, W+2, cin) input tile (1 halo row/col per side).
+    kfold: (3, cin, 3*ch) — row dy holds [K(dy,0) | K(dy,1) | K(dy,2)].
+    Returns (rows_out, W, ch) f32, bias added, relu applied.
+    """
+    r_in, w_in, cin = xt.shape
+    acc = jnp.zeros((rows_out, W, ch), jnp.float32)
+    for dy in range(3):
+        big = jax.lax.dot_general(
+            xt[dy : dy + rows_out].reshape(rows_out * w_in, cin),
+            kfold[dy],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(rows_out, w_in, 3 * ch)
+        for dx in range(3):
+            acc += big[:, dx : dx + W, dx * ch : (dx + 1) * ch]
+    return jnp.maximum(acc + bias.astype(jnp.float32), 0.0)
+
+
+def _row_pool(y, ht, W, ch, out_ref):
+    # row half of the 2x2 max-pool (outer-dim reshape lowers fine); the
+    # column half runs outside in XLA
+    y = y.reshape(ht // 2, 2, W, ch)
+    out_ref[:] = jnp.max(y, axis=1)[None].astype(out_ref.dtype)
+
+
+def _kernel2(xb, hb, k1_ref, b1_ref, k2_ref, b2_ref, out_ref, *, ht, H, W, ch):
+    h = pl.program_id(1)
+    xt = jnp.concatenate(
+        [hb[0, 0, :2], xb[0], hb[0, 0, 2:]], axis=0
+    ).astype(jnp.bfloat16)  # (ht+4, W+4, cin)
+    # conv1 (SAME): rows [r0-1, r0+ht], cols [-1, W]
+    a = _conv3x3(xt, k1_ref[:], b1_ref[:], ht + 2, W + 2, ch)
+    # conv2's SAME padding: halo rows/cols outside the image are ZERO (they
+    # are conv1 *padding*, not conv1 evaluated beyond the border)
+    ar = h * ht - 1 + jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1, 1), 0)
+    ac = jax.lax.broadcasted_iota(jnp.int32, (1, W + 2, 1), 1) - 1
+    a = jnp.where((ar >= 0) & (ar < H) & (ac >= 0) & (ac < W), a, 0.0)
+    a = a.astype(jnp.bfloat16)
+    y = _conv3x3(a, k2_ref[:], b2_ref[:], ht, W, ch)
+    _row_pool(y, ht, W, ch, out_ref)
+
+
+def _kernel1(xb, hb, k_ref, b_ref, out_ref, *, ht, W, ch):
+    xt = jnp.concatenate(
+        [hb[0, 0, :1], xb[0], hb[0, 0, 1:]], axis=0
+    ).astype(jnp.bfloat16)  # (ht+2, W+2, cin)
+    y = _conv3x3(xt, k_ref[:], b_ref[:], ht, W, ch)
+    _row_pool(y, ht, W, ch, out_ref)
+
+
+def _fold_taps(k):
+    """(3, 3, cin, ch) HWIO -> (3, cin, 3*ch): row dy = [K(dy,0)|K(dy,1)|K(dy,2)]."""
+    return jnp.stack(
+        [jnp.concatenate([k[dy, dx] for dx in range(3)], axis=-1) for dy in range(3)]
+    )
+
+
+def _halo_rows(xp, ht, s):
+    """(B, H+2s, W+2s, cin) zero-padded input -> (B, n_h, 2s, W+2s, cin):
+    the s rows above and below each ht-row block."""
+    B, Hp, _, _ = xp.shape
+    H = Hp - 2 * s
+    n_h = H // ht
+    base = jnp.arange(n_h) * ht
+    offs = jnp.concatenate([jnp.arange(s), ht + s + jnp.arange(s)])
+    return xp[:, base[:, None] + offs[None, :]]
+
+
+def _col_pool(y):
+    return jnp.maximum(y[:, :, 0::2], y[:, :, 1::2])
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def fused_conv2_pool(x, k1, b1, k2, b2, block_rows: int = 8):
+    """(B, H, W, Cin) -> (B, H//2, W//2, Cout): two 3x3 SAME convs with bias
+    + relu each, then 2x2 max-pool — one HBM pass over the input. H must be
+    divisible by `block_rows` (even), W even. Weights HWIO like `nn.Conv`.
+    """
+    B, H, W, cin = x.shape
+    ch = k2.shape[-1]
+    ht = block_rows
+    assert H % ht == 0 and ht % 2 == 0 and W % 2 == 0, (H, W, ht)
+    xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+    xin = xp[:, 2:-2]  # (B, H, W+4, cin): aligned ht-row blocks
+    halo = _halo_rows(xp, ht, 2)
+    k1f = _fold_taps(k1.astype(jnp.bfloat16))
+    k2f = _fold_taps(k2.astype(jnp.bfloat16))
+    kernel = functools.partial(_kernel2, ht=ht, H=H, W=W, ch=ch)
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, H // ht),
+        in_specs=[
+            pl.BlockSpec((1, ht, W + 4, cin), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 4, W + 4, cin), lambda b, h: (b, h, 0, 0, 0)),
+            pl.BlockSpec((3, cin, 3 * ch), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((ch,), lambda b, h: (0,)),
+            pl.BlockSpec((3, ch, 3 * ch), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((ch,), lambda b, h: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, ht // 2, W, ch), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W, ch), jnp.bfloat16),
+    )(xin, halo, k1f, b1, k2f, b2)
+    return _col_pool(y)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def fused_conv1_pool(x, k, b, block_rows: int = 8):
+    """(B, H, W, Cin) -> (B, H//2, W//2, Cout): one 3x3 SAME conv + bias +
+    relu + 2x2 max-pool in a single HBM pass (used after an XLA conv when the
+    preceding conv's input is lane-hostile, e.g. the 1-channel image)."""
+    B, H, W, cin = x.shape
+    ch = k.shape[-1]
+    ht = block_rows
+    assert H % ht == 0 and ht % 2 == 0 and W % 2 == 0, (H, W, ht)
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    xin = xp[:, 1:-1]  # (B, H, W+2, cin)
+    halo = _halo_rows(xp, ht, 1)
+    kf = _fold_taps(k.astype(jnp.bfloat16))
+    kernel = functools.partial(_kernel1, ht=ht, W=W, ch=ch)
+    y = pl.pallas_call(
+        kernel,
+        grid=(B, H // ht),
+        in_specs=[
+            pl.BlockSpec((1, ht, W + 2, cin), lambda b, h: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, 2, W + 2, cin), lambda b, h: (b, h, 0, 0, 0)),
+            pl.BlockSpec((3, cin, 3 * ch), lambda b, h: (0, 0, 0)),
+            pl.BlockSpec((ch,), lambda b, h: (0,)),
+        ],
+        out_specs=pl.BlockSpec((1, ht // 2, W, ch), lambda b, h: (b, h, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, H // 2, W, ch), jnp.bfloat16),
+    )(xin, halo, kf, b)
+    return _col_pool(y)

@@ -190,6 +190,13 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
         losses, metrics = model_loss(pred, {**pred, **data})
         return losses, metrics
 
+    def pred_step(params, data):
+        # full prediction dict for validation figures (train=True so GT
+        # labels are generated in-forward for match coloring)
+        return model.apply(
+            params, data, train=True, rngs={"aug": jax.random.PRNGKey(0)}
+        )
+
     train_step = jax.jit(
         train_step,
         in_shardings=(r_shard, b_shard),
@@ -197,10 +204,21 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
         donate_argnums=(0,),
     )
     eval_step = jax.jit(eval_step, in_shardings=(r_shard, b_shard))
-    return train_step, eval_step
+    pred_step = jax.jit(pred_step, in_shardings=(r_shard, b_shard))
+    return train_step, eval_step, pred_step
 
 
-def do_evaluation(eval_step, params, loader, mesh, conf, step=None, log_dir=None):
+def do_evaluation(
+    eval_step,
+    params,
+    loader,
+    mesh,
+    conf,
+    step=None,
+    log_dir=None,
+    pred_step=None,
+    writer=None,
+):
     """Stream val loss/metrics into accumulators (reference `train.py:99-313`).
 
     Fork diagnostics:
@@ -229,6 +247,30 @@ def do_evaluation(eval_step, params, loader, mesh, conf, step=None, log_dir=None
     for data in loader:
         sharded = prepare_batch(data, mesh)
         losses, metrics = eval_step(params, sharded)
+        if (
+            idx_base == 0
+            and pred_step is not None
+            and writer is not None
+            and conf.get("plot")
+        ):
+            # validation match figures (reference `train.plot` ->
+            # `visualize_batch.make_match_figures`, train.py:1259-1270)
+            plot_conf = conf.plot
+            n_pairs = int(
+                plot_conf[0]
+                if isinstance(plot_conf, (list, tuple))
+                else plot_conf
+            )
+            try:
+                from ..visualization.visualize_batch import make_match_figures
+
+                pred = jax.device_get(pred_step(params, sharded))
+                for name, fig in make_match_figures(
+                    pred, data, n_pairs=n_pairs
+                ).items():
+                    writer.add_figure(f"val/{name}", fig, global_step=step)
+            except Exception as e:  # figures must never kill training
+                logger.warning(f"validation figures failed: {e}")
         overlap = data.get("overlap_0to1")
         overlap = None if overlap is None else np.asarray(overlap).reshape(-1)
         for k, v in {**losses, **metrics}.items():
@@ -362,7 +404,7 @@ def training(conf: Config, output_dir: Path, args=None):
         logger.info(f"restored from {ckpt} at step {int(np.asarray(state.step))}")
 
     mp = {"bf16": jnp.bfloat16, None: None}[train_conf.mixed_precision]
-    train_step, eval_step = make_step_fns(model, tx, mesh, mp)
+    train_step, eval_step, pred_step = make_step_fns(model, tx, mesh, mp)
 
     stop_flag = {"stop": False}
 
@@ -447,6 +489,8 @@ def training(conf: Config, output_dir: Path, args=None):
                     results = do_evaluation(
                         eval_step, state.params, val_loader, mesh, train_conf,
                         step=n_iter, log_dir=output_dir,
+                        pred_step=pred_step,
+                        writer=writer if is_leader else None,
                     )
                     # lead with the headline keys, then the rest
                     head = [

@@ -30,6 +30,9 @@ def timed(run_jit, floor, args):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from gluefactory_tpu.models import get_model

@@ -99,7 +99,7 @@ def main():
     params = model.init(jax.random.PRNGKey(0), sharded, train=True)
     tx = optax.adam(1e-4)
     state = TrainState(params, tx.init(params), jnp.asarray(0))
-    train_step, _ = make_step_fns(model, tx, mesh)
+    train_step, *_ = make_step_fns(model, tx, mesh)
     state, losses, _, _ = train_step(state, sharded)
     loss = float(jnp.mean(losses["total"]))
     print(json.dumps({"pid": pid, "items": items, "loss": loss}), flush=True)

@@ -58,3 +58,22 @@ def test_yaml_roundtrip(tmp_path):
     c.save(p)
     c2 = Config.load(p)
     assert c2 == c
+
+
+def test_all_shipped_configs_construct():
+    """Every YAML in gluefactory_tpu/configs must load and, when it defines a
+    model, build it through the struct-checked conf merge (catches stale or
+    misspelled keys in the config zoo)."""
+    from pathlib import Path
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.models import get_model
+
+    cfg_dir = Path(__file__).parent.parent / "gluefactory_tpu" / "configs"
+    paths = sorted(cfg_dir.glob("*.yaml"))
+    assert len(paths) >= 25
+    for path in paths:
+        conf = Config.load(path)
+        if "model" in conf:
+            model = get_model(conf.model["name"]).from_conf(conf.model)
+            assert model is not None, path.name

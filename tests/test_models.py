@@ -27,6 +27,54 @@ def test_superpoint_forward_shapes():
     assert pred["keypoint_valid"].shape == (2, 64)
 
 
+def test_superpoint_s2d_matches_standard():
+    """Space-to-depth early scales are an exact re-evaluation of the same
+    parameters (S2DVGGBlock) — outputs must match the standard path."""
+    base = {
+        "max_num_keypoints": 48,
+        "detection_threshold": 0.0005,
+        "channels": [8, 8, 16, 16, 32],
+    }
+    sp0 = get_model("superpoint").from_conf({**base, "s2d_levels": 0})
+    sp3 = get_model("superpoint").from_conf({**base, "s2d_levels": 3})
+    img = jnp.asarray(np.random.RandomState(0).rand(2, 64, 96, 1), jnp.float32)
+    params = sp0.init(jax.random.PRNGKey(0), {"image": img})
+    # identical parameter structure: checkpoints are interchangeable
+    assert jax.tree_util.tree_structure(
+        params
+    ) == jax.tree_util.tree_structure(sp3.init(jax.random.PRNGKey(0), {"image": img}))
+    p0 = sp0.apply(params, {"image": img})
+    p3 = sp3.apply(params, {"image": img})
+    np.testing.assert_array_equal(np.asarray(p0["keypoints"]), np.asarray(p3["keypoints"]))
+    np.testing.assert_allclose(
+        np.asarray(p0["descriptors"]), np.asarray(p3["descriptors"]), atol=1e-5
+    )
+    # odd-sized images fall back to the standard evaluation, same params
+    odd = jnp.asarray(np.random.RandomState(1).rand(1, 63, 97, 1), jnp.float32)
+    assert sp3.apply(params, {"image": odd})["keypoints"].shape == (1, 48, 2)
+
+
+def test_lightglue_inference_matches_train_path():
+    """The inference forward (post-scan exit head, no stacked scores) must
+    produce the same assignment as the training scan path."""
+    conf = {"n_layers": 3, "descriptor_dim": 64, "input_dim": 32, "num_heads": 4}
+    lg = get_model("lightglue").from_conf(conf)
+    rng = np.random.RandomState(3)
+    data = {
+        "keypoints0": jnp.asarray(rng.rand(2, 24, 2) * 100, jnp.float32),
+        "keypoints1": jnp.asarray(rng.rand(2, 24, 2) * 100, jnp.float32),
+        "descriptors0": jnp.asarray(rng.randn(2, 24, 32), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(2, 24, 32), jnp.float32),
+    }
+    params = lg.init(jax.random.PRNGKey(0), data, train=True)
+    pt = lg.apply(params, data, train=True)
+    pi = lg.apply(params, data, train=False)
+    np.testing.assert_allclose(
+        np.asarray(pt["log_assignment"]), np.asarray(pi["log_assignment"]), atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(pt["matches0"]), np.asarray(pi["matches0"]))
+
+
 def test_nn_matcher_identity():
     rng = np.random.RandomState(0)
     d = rng.randn(1, 32, 64).astype(np.float32)

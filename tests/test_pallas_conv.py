@@ -1,0 +1,91 @@
+"""Fused VGG-stage Pallas kernel (ops/pallas_conv.py): exactness vs the XLA
+conv path, standalone and integrated into SuperPoint (interpret mode on CPU).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import gluefactory_tpu.ops.pallas_conv as pc
+
+
+@pytest.fixture()
+def interpret_pallas(monkeypatch):
+    shim = type(pl)("plshim")
+    shim.__dict__.update(pl.__dict__)
+    shim.pallas_call = functools.partial(pl.pallas_call, interpret=True)
+    monkeypatch.setattr(pc, "pl", shim)
+
+
+def _ref(x, k1, b1, k2, b2):
+    dn = ("NHWC", "HWIO", "NHWC")
+    a = jax.lax.conv_general_dilated(
+        x.astype(jnp.bfloat16), k1.astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    a = jnp.maximum(a + b1, 0).astype(jnp.bfloat16)
+    y = jax.lax.conv_general_dilated(
+        a, k2.astype(jnp.bfloat16), (1, 1), "SAME",
+        dimension_numbers=dn, preferred_element_type=jnp.float32,
+    )
+    y = jnp.maximum(y + b2, 0)
+    return jax.lax.reduce_window(
+        y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+@pytest.mark.parametrize(
+    "B,H,W,cin,ch,br",
+    [(1, 16, 16, 1, 8, 8), (2, 32, 48, 1, 16, 8), (2, 32, 48, 16, 16, 16)],
+)
+def test_fused_conv2_pool_matches_xla(interpret_pallas, B, H, W, cin, ch, br):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, H, W, cin), jnp.float32)
+    k1 = jnp.asarray(rng.randn(3, 3, cin, ch) * 0.2, jnp.float32)
+    b1 = jnp.asarray(rng.randn(ch) * 0.1, jnp.float32)
+    k2 = jnp.asarray(rng.randn(3, 3, ch, ch) * 0.1, jnp.float32)
+    b2 = jnp.asarray(rng.randn(ch) * 0.1, jnp.float32)
+    out = np.asarray(pc.fused_conv2_pool(x, k1, b1, k2, b2, block_rows=br))
+    ref = np.asarray(_ref(x, k1, b1, k2, b2))
+    # both paths are bf16 convs with f32 accumulation; only rounding differs
+    np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+def test_superpoint_fused_stages_matches_standard(interpret_pallas, monkeypatch):
+    import gluefactory_tpu.models.extractors.superpoint as spm
+    from gluefactory_tpu.models import get_model
+
+    monkeypatch.setattr(spm, "_pallas_conv_available", lambda: True)
+    base = {
+        "max_num_keypoints": 32,
+        "detection_threshold": 0.0005,
+        "channels": [8, 8, 16, 16, 32],
+        "dtype": "bfloat16",
+    }
+    base = {**base, "dense_outputs": True}
+    sp0 = get_model("superpoint").from_conf({**base, "fused_stages": 0})
+    sp2 = get_model("superpoint").from_conf({**base, "fused_stages": 2})
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 32, 48, 1), jnp.float32)
+    params = sp0.init(jax.random.PRNGKey(0), {"image": img})
+    p0 = sp0.apply(params, {"image": img})
+    p2 = sp2.apply(params, {"image": img})
+    # dense maps agree to bf16 rounding (keypoint RANKINGS on random noise
+    # are not stable under rounding, so compare the maps, not the top-k)
+    np.testing.assert_allclose(
+        np.asarray(p0["dense_scores"]), np.asarray(p2["dense_scores"]), atol=3e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(p0["dense_descriptors"]),
+        np.asarray(p2["dense_descriptors"]),
+        atol=3e-2,
+    )
+    assert p2["keypoints"].shape == (1, 32, 2)
+    # training path is unaffected (standard convs for gradients)
+    pt = sp2.apply(params, {"image": img}, train=True)
+    np.testing.assert_array_equal(
+        np.asarray(p0["dense_scores"]), np.asarray(pt["dense_scores"])
+    )

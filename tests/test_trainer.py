@@ -118,6 +118,53 @@ def test_frozen_extractor_params_not_updated(tiny_conf, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_do_evaluation_validation_figures(tmp_path):
+    """`train.plot` draws match figures from the first val batch and writes
+    them to the summary writer (reference `train.py:1259-1270`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.train.trainer import do_evaluation
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    B, K = 2, 8
+    rng = np.random.RandomState(0)
+    imgs = rng.rand(B, 32, 32, 1).astype(np.float32)
+    kp = (rng.rand(B, K, 2) * 31).astype(np.float32)
+    pred = {
+        "keypoints0": kp,
+        "keypoints1": kp,
+        "matches0": np.tile(np.arange(K), (B, 1)),
+        "gt_matches0": np.tile(np.arange(K), (B, 1)),
+        "keypoint_valid0": np.ones((B, K), bool),
+    }
+
+    def pred_step(params, data):
+        return pred
+
+    def eval_step(params, data):
+        return {"total": jnp.zeros(B)}, {}
+
+    loader = [
+        {"view0": {"image": imgs}, "view1": {"image": imgs}, "idx": np.arange(B)}
+    ]
+    figures = {}
+
+    class Writer:
+        def add_figure(self, name, fig, global_step=None):
+            figures[name] = (fig, global_step)
+
+    conf = Config({"median_metrics": [], "plot": 2})
+    do_evaluation(
+        eval_step, {}, loader, mesh, conf, step=3,
+        pred_step=pred_step, writer=Writer(),
+    )
+    assert set(figures) == {"val/match_pair_0", "val/match_pair_1"}
+    assert figures["val/match_pair_0"][1] == 3
+
+
 def test_do_evaluation_overlap_bins_and_tsv(tmp_path):
     import jax
     import jax.numpy as jnp
