@@ -11,8 +11,11 @@ Mosaic constraints shaped the design (each was hit in practice):
   - channel-concat of spatially shifted slices does not lower ("offset
     mismatch on non-concat dimension") -> convs are per-dy tap-folded
     matmuls `big_dy = x[dy:] @ [K(dy,0)|K(dy,1)|K(dy,2)]` + shifted adds;
-  - matmul accumulators must be 32-bit -> f32 `big`, VMEM-sized via per-dy
-    folding (N = 3*Cout, not 9*Cout);
+  - matmul accumulators must be 32-bit -> f32 `big`;
+  - an unrolled dy loop keeps all three f32 `big` buffers live (VMEM OOM at
+    640px width) and `dynamic_slice` on VALUES does not lower -> the tile
+    lives in a VMEM scratch ref and a `fori_loop` slices it with `pl.load`,
+    so one `big` is live at a time;
   - manual HBM->VMEM DMA requires 128-aligned minor dims -> halo rows are a
     separate XLA-gathered input riding the normal BlockSpec pipeline;
   - lane-merging reshapes / strided sublane gathers do not lower -> the 2x2
@@ -22,6 +25,14 @@ Mosaic constraints shaped the design (each was hit in practice):
 
 Inference-only fast path (SuperPoint freezes the backbone in the flagship
 pipeline); training uses the standard XLA convs for gradients.
+
+MEASURED RESULT (v5e, B=8, 640x480): compiles and runs correctly on-chip
+(bf16-rounding parity with the XLA path), but the end-to-end pipeline is
+~3x SLOWER with `fused_stages: 3` than with plain XLA convs — the 16 MB
+VMEM budget forces 4-row blocks at 640 px width, and ~1000 grid steps of
+per-step overhead swamp the saved HBM traffic. Kept as an off-by-default
+option: on hardware with larger VMEM (or narrower inputs, where
+`_pick_ht` chooses 8+ rows) the trade-off shifts.
 """
 
 from __future__ import annotations
@@ -34,24 +45,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _conv3x3(xt, kfold, bias, rows_out, W, ch):
-    """3x3 SAME conv via per-dy tap-folded matmuls + shifted adds.
+def _conv3x3_ref(xt_ref, k_ref, bias, rows_out, W, ch):
+    """3x3 SAME conv from a VMEM tile ref via per-dy tap-folded matmuls.
 
-    xt: (rows_out+2, W+2, cin) input tile (1 halo row/col per side).
-    kfold: (3, cin, 3*ch) — row dy holds [K(dy,0) | K(dy,1) | K(dy,2)].
+    xt_ref: (rows_out+2, W+2, cin) VMEM ref (1 halo row/col per side).
+    k_ref: (3, cin, 3*ch) ref — row dy holds [K(dy,0) | K(dy,1) | K(dy,2)].
     Returns (rows_out, W, ch) f32, bias added, relu applied.
     """
-    r_in, w_in, cin = xt.shape
-    acc = jnp.zeros((rows_out, W, ch), jnp.float32)
-    for dy in range(3):
+    w_in = xt_ref.shape[1]
+    cin = xt_ref.shape[2]
+
+    def body(dy, acc):
+        xs = xt_ref[pl.ds(dy, rows_out)]
+        kd = k_ref[pl.ds(dy, 1)]
         big = jax.lax.dot_general(
-            xt[dy : dy + rows_out].reshape(rows_out * w_in, cin),
-            kfold[dy],
+            xs.reshape(rows_out * w_in, cin),
+            kd.reshape(cin, 3 * ch),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).reshape(rows_out, w_in, 3 * ch)
         for dx in range(3):
             acc += big[:, dx : dx + W, dx * ch : (dx + 1) * ch]
+        return acc
+
+    acc = jax.lax.fori_loop(
+        0, 3, body, jnp.zeros((rows_out, W, ch), jnp.float32)
+    )
     return jnp.maximum(acc + bias.astype(jnp.float32), 0.0)
 
 
@@ -62,28 +81,30 @@ def _row_pool(y, ht, W, ch, out_ref):
     out_ref[:] = jnp.max(y, axis=1)[None].astype(out_ref.dtype)
 
 
-def _kernel2(xb, hb, k1_ref, b1_ref, k2_ref, b2_ref, out_ref, *, ht, H, W, ch):
+def _kernel2(
+    xb, hb, k1_ref, b1_ref, k2_ref, b2_ref, out_ref, xt_ref, a_ref, *, ht, H, W, ch
+):
     h = pl.program_id(1)
-    xt = jnp.concatenate(
-        [hb[0, 0, :2], xb[0], hb[0, 0, 2:]], axis=0
-    ).astype(jnp.bfloat16)  # (ht+4, W+4, cin)
+    xt_ref[:2] = hb[0, 0, :2].astype(xt_ref.dtype)
+    xt_ref[2 : ht + 2] = xb[0].astype(xt_ref.dtype)
+    xt_ref[ht + 2 :] = hb[0, 0, 2:].astype(xt_ref.dtype)
     # conv1 (SAME): rows [r0-1, r0+ht], cols [-1, W]
-    a = _conv3x3(xt, k1_ref[:], b1_ref[:], ht + 2, W + 2, ch)
+    a = _conv3x3_ref(xt_ref, k1_ref, b1_ref[:], ht + 2, W + 2, ch)
     # conv2's SAME padding: halo rows/cols outside the image are ZERO (they
     # are conv1 *padding*, not conv1 evaluated beyond the border)
     ar = h * ht - 1 + jax.lax.broadcasted_iota(jnp.int32, (ht + 2, 1, 1), 0)
     ac = jax.lax.broadcasted_iota(jnp.int32, (1, W + 2, 1), 1) - 1
     a = jnp.where((ar >= 0) & (ar < H) & (ac >= 0) & (ac < W), a, 0.0)
-    a = a.astype(jnp.bfloat16)
-    y = _conv3x3(a, k2_ref[:], b2_ref[:], ht, W, ch)
+    a_ref[:] = a.astype(a_ref.dtype)
+    y = _conv3x3_ref(a_ref, k2_ref, b2_ref[:], ht, W, ch)
     _row_pool(y, ht, W, ch, out_ref)
 
 
-def _kernel1(xb, hb, k_ref, b_ref, out_ref, *, ht, W, ch):
-    xt = jnp.concatenate(
-        [hb[0, 0, :1], xb[0], hb[0, 0, 1:]], axis=0
-    ).astype(jnp.bfloat16)  # (ht+2, W+2, cin)
-    y = _conv3x3(xt, k_ref[:], b_ref[:], ht, W, ch)
+def _kernel1(xb, hb, k_ref, b_ref, out_ref, xt_ref, *, ht, W, ch):
+    xt_ref[:1] = hb[0, 0, :1].astype(xt_ref.dtype)
+    xt_ref[1 : ht + 1] = xb[0].astype(xt_ref.dtype)
+    xt_ref[ht + 1 :] = hb[0, 0, 1:].astype(xt_ref.dtype)
+    y = _conv3x3_ref(xt_ref, k_ref, b_ref[:], ht, W, ch)
     _row_pool(y, ht, W, ch, out_ref)
 
 
@@ -109,6 +130,16 @@ def _col_pool(y):
     return jnp.maximum(y[:, :, 0::2], y[:, :, 1::2])
 
 
+def _pick_ht(H, W, cap):
+    """Largest row-block size whose VMEM footprint is known-good: the f32
+    `big` buffer scales with ht*W, and ht*W <= 2560 (320x8) fits alongside
+    the accumulator and staging buffers on a 16 MB VMEM core."""
+    for ht in (cap, 8, 4, 2):
+        if ht <= cap and ht % 2 == 0 and H % ht == 0 and ht * max(W, 320) <= 2560:
+            return ht
+    return 0
+
+
 @functools.partial(jax.jit, static_argnames=("block_rows",))
 def fused_conv2_pool(x, k1, b1, k2, b2, block_rows: int = 8):
     """(B, H, W, Cin) -> (B, H//2, W//2, Cout): two 3x3 SAME convs with bias
@@ -117,8 +148,8 @@ def fused_conv2_pool(x, k1, b1, k2, b2, block_rows: int = 8):
     """
     B, H, W, cin = x.shape
     ch = k2.shape[-1]
-    ht = block_rows
-    assert H % ht == 0 and ht % 2 == 0 and W % 2 == 0, (H, W, ht)
+    ht = _pick_ht(H, W, block_rows)
+    assert ht > 0 and W % 2 == 0, (H, W, block_rows)
     xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
     xin = xp[:, 2:-2]  # (B, H, W+4, cin): aligned ht-row blocks
     halo = _halo_rows(xp, ht, 2)
@@ -138,6 +169,10 @@ def fused_conv2_pool(x, k1, b1, k2, b2, block_rows: int = 8):
         ],
         out_specs=pl.BlockSpec((1, ht // 2, W, ch), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W, ch), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((ht + 4, W + 4, cin), jnp.bfloat16),
+            pltpu.VMEM((ht + 2, W + 2, ch), jnp.bfloat16),
+        ],
     )(xin, halo, k1f, b1, k2f, b2)
     return _col_pool(y)
 
@@ -149,8 +184,8 @@ def fused_conv1_pool(x, k, b, block_rows: int = 8):
     preceding conv's input is lane-hostile, e.g. the 1-channel image)."""
     B, H, W, cin = x.shape
     ch = k.shape[-1]
-    ht = block_rows
-    assert H % ht == 0 and ht % 2 == 0 and W % 2 == 0, (H, W, ht)
+    ht = _pick_ht(H, W, block_rows)
+    assert ht > 0 and W % 2 == 0, (H, W, block_rows)
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
     xin = xp[:, 1:-1]  # (B, H, W+2, cin)
     halo = _halo_rows(xp, ht, 1)
@@ -167,5 +202,8 @@ def fused_conv1_pool(x, k, b, block_rows: int = 8):
         ],
         out_specs=pl.BlockSpec((1, ht // 2, W, ch), lambda b, h: (b, h, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H // 2, W, ch), jnp.bfloat16),
+        scratch_shapes=[
+            pltpu.VMEM((ht + 2, W + 2, cin), jnp.bfloat16),
+        ],
     )(xin, halo, kf, b)
     return _col_pool(y)
