@@ -139,6 +139,10 @@ class MatchAssignment(nn.Module):
 
     dim: int
     dtype: str = "float32"
+    # inference-only fused Pallas path (ops/pallas_assignment.py): one VMEM
+    # pass instead of several HBM-sized softmax intermediates. Not used in
+    # the training scan (the deep-supervision path needs gradients).
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, x0, x1, mask0, mask1, compute_scores=None):
@@ -152,6 +156,26 @@ class MatchAssignment(nn.Module):
         z1 = matchability(x1.astype(jnp.float32))[..., 0]
 
         def heavy(_):
+            from ...ops.attention import _use_pallas
+
+            if self.use_kernel and _use_pallas():
+                from ...ops.pallas_assignment import (
+                    fits_fused_assignment,
+                    fused_assignment,
+                )
+
+                if fits_fused_assignment(x0.shape[1], x1.shape[1]):
+                    m0 = (
+                        mask0
+                        if mask0 is not None
+                        else jnp.ones(x0.shape[:2], bool)
+                    )
+                    m1 = (
+                        mask1
+                        if mask1 is not None
+                        else jnp.ones(x1.shape[:2], bool)
+                    )
+                    return fused_assignment(mdesc0, mdesc1, z0, z1, m0, m1)
             # bf16 operands, f32 MXU accumulation; softmax math stays f32
             sim = jnp.einsum(
                 "bnd,bmd->bnm",
@@ -389,7 +413,9 @@ class LightGlue(BaseModel):
             scores = per_layer["scores"][-1][:, :N, :M]
         else:
             lparams = self.layers.variables["params"]
-            head = MatchAssignment(c.descriptor_dim, c.dtype, parent=None)
+            head = MatchAssignment(
+                c.descriptor_dim, c.dtype, use_kernel=True, parent=None
+            )
             p_head = jax.tree_util.tree_map(
                 lambda a: a[-1], lparams["log_assignment"]
             )
@@ -525,7 +551,9 @@ class LightGlue(BaseModel):
         x0, x1 = x[:B, :N], x[B:, :M]
         mask0, mask1 = mask0[:, :N], mask1[:, :M]
 
-        head = MatchAssignment(c.descriptor_dim, c.dtype, parent=None)
+        head = MatchAssignment(
+            c.descriptor_dim, c.dtype, use_kernel=True, parent=None
+        )
         p_head = slice_layer(lparams["log_assignment"], i_end - 1)
         scores, _, _ = head.apply(
             {"params": p_head},

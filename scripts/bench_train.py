@@ -29,7 +29,12 @@ def main():
     from gluefactory_tpu.core.config import Config
     from gluefactory_tpu.models import get_model
     from gluefactory_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
-    from gluefactory_tpu.train.trainer import TrainState, build_optimizer, make_step_fns
+    from gluefactory_tpu.train.trainer import (
+        TrainState,
+        build_optimizer,
+        default_train_conf,
+        make_step_fns,
+    )
 
     conf = Config(
         {
@@ -51,9 +56,12 @@ def main():
                     "dtype": "bfloat16",
                 },
             },
-            "train": {"lr": 1e-4, "optimizer": "adam", "optimizer_options": {}},
+            "train": {"lr": 1e-4},
         }
     )
+    full_train = Config(dict(default_train_conf))
+    full_train.merge_(conf.train)
+    conf = Config({"model": conf.model, "train": full_train})
     rng = np.random.RandomState(0)
     w, h = SIZE
     imgs0 = jnp.asarray(rng.rand(ITERS, BATCH, h, w, 1), jnp.float32)
