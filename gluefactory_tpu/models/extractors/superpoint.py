@@ -15,8 +15,6 @@ Design notes (TPU-first, not a port):
 
 from __future__ import annotations
 
-from typing import Any
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -21,8 +21,6 @@ TPU-first choices:
 from __future__ import annotations
 
 import math
-from typing import Any
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -24,11 +24,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", ".jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
-    import optax
 
     from gluefactory_tpu.core.config import Config
     from gluefactory_tpu.models import get_model
-    from gluefactory_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+    from gluefactory_tpu.parallel.mesh import make_mesh
     from gluefactory_tpu.train.trainer import (
         TrainState,
         build_optimizer,

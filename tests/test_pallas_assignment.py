@@ -1,8 +1,6 @@
 """Fused assignment kernel (ops/pallas_assignment.py) vs the XLA
 sigmoid_log_double_softmax path, interpret mode on CPU."""
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
