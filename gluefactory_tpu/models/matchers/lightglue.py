@@ -206,9 +206,10 @@ class LGLayer(nn.Module):
     num_heads: int
     width_confidence: float = -1.0
     dtype: str = "float32"
+    nll_balancing: float = 0.5
 
     @nn.compact
-    def __call__(self, carry, xs, collect_scores: bool = True):
+    def __call__(self, carry, xs, collect_scores: bool = True, gt=None):
         is_last, conf_th = xs
         # x stacks both views along the batch axis: (2B, N, D)
         x, enc, mask0, mask1, train_flag = carry
@@ -249,7 +250,26 @@ class LGLayer(nn.Module):
 
             mask0 = prune(conf0, z0, mask0)
             mask1 = prune(conf1, z1, mask1)
-        if collect_scores:
+        if collect_scores and gt is not None:
+            # in-scan deep supervision (`loss.in_scan`): reduce this layer's
+            # (B, N, M) assignment to its scalar loss terms inside the scan,
+            # so training never stacks L x (B, N, M) activations — with
+            # `remat` this makes training memory O(1) in depth (the enabler
+            # for reference-scale batch-128 on a single 16 GB chip).
+            gt0, gt1 = gt
+            la = with_dustbins(scores, z0, z1, mask0, mask1)
+            terms = nll_loss(la, gt0, gt1, nll_balancing=self.nll_balancing)
+            lad = jax.lax.stop_gradient(la)
+            out = {
+                **terms,
+                # per-layer matches incl. dustbin option, for the detached
+                # confidence BCE targets (reference `lightglue.py:620-633`)
+                "argmax0": jnp.argmax(lad[:, :-1, :], -1),
+                "argmax1": jnp.argmax(lad[:, :, :-1], -2),
+                "conf0": conf0,
+                "conf1": conf1,
+            }
+        elif collect_scores:
             out = {"scores": scores, "z0": z0, "z1": z1, "conf0": conf0, "conf1": conf1}
         else:
             # inference: the stacked (L, B, N, M) score tensor (and the per-
@@ -290,6 +310,12 @@ class LightGlue(BaseModel):
             "gamma": 1.0,
             "nll_balancing": 0.5,
             "confidence_weight": 1.0,
+            # compute each layer's deep-supervision NLL inside the scan
+            # instead of stacking L x (B, N, M) assignments: with `remat`,
+            # training activation memory becomes O(1) in depth. Same math
+            # (tested); requires GT labels available in-forward
+            # (`two_view_pipeline.run_gt_in_forward`).
+            "in_scan": False,
         },
         "weights": None,
     }
@@ -313,8 +339,16 @@ class LightGlue(BaseModel):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
-            in_axes=(0, nn.broadcast),  # xs scanned, collect_scores static
-        )(D, c.num_heads, float(c.width_confidence), c.dtype, name="layers")
+            # xs scanned; collect_scores (static) and gt (traced) broadcast
+            in_axes=(0, nn.broadcast, nn.broadcast),
+        )(
+            D,
+            c.num_heads,
+            float(c.width_confidence),
+            c.dtype,
+            float(c.loss["nll_balancing"]),
+            name="layers",
+        )
 
     def _forward(self, data: dict, train: bool = False) -> dict:
         c = self.conf
@@ -398,27 +432,50 @@ class LightGlue(BaseModel):
 
         is_last = jnp.arange(L) == (L - 1)
         carry = (x, enc, mask0p, mask1p, jnp.asarray(train))
-        # training (deep supervision) stacks per-layer scores; at inference
-        # the stacked (L, B, N, M) tensor is omitted from the scan outputs
+        # training (deep supervision) stacks per-layer scores — or, with
+        # loss.in_scan, reduces each layer to its scalar loss terms inside
+        # the scan; at inference the stacked (L, B, N, M) tensor is omitted
         # (dead-code-eliminated) and the exit head runs once post-scan.
         collect = train or self.is_initializing()
-        carry, per_layer = self.layers(carry, (is_last, conf_ths), collect)
+        in_scan_loss = (
+            train
+            and bool(c.loss.get("in_scan", False))
+            and "gt_matches0" in data
+        )
+        gt = None
+        if in_scan_loss:
+            gt0 = data["gt_matches0"].astype(jnp.int32)
+            gt1 = data["gt_matches1"].astype(jnp.int32)
+            if N != M:  # padded tokens carry the IGNORE label
+                gt0 = jnp.pad(gt0, ((0, 0), (0, K - N)), constant_values=-2)
+                gt1 = jnp.pad(gt1, ((0, 0), (0, K - M)), constant_values=-2)
+            gt = (gt0, gt1)
+        carry, per_layer = self.layers(carry, (is_last, conf_ths), collect, gt)
         x0, x1 = carry[0][:B, :N], carry[0][B:, :M]
         mask0_f, mask1_f = carry[2][:, :N], carry[3][:, :M]  # after pruning
 
-        if collect:
+        if collect and not in_scan_loss:
             # final-layer assignment comes from the scanned per-layer heads
             scores = per_layer["scores"][-1][:, :N, :M]
         else:
             lparams = self.layers.variables["params"]
             head = MatchAssignment(
-                c.descriptor_dim, c.dtype, use_kernel=True, parent=None
+                c.descriptor_dim,
+                c.dtype,
+                use_kernel=not in_scan_loss,
+                parent=None,
             )
             p_head = jax.tree_util.tree_map(
                 lambda a: a[-1], lparams["log_assignment"]
             )
+            if in_scan_loss:
+                # gradients flow through the in-scan losses; the final
+                # assignment here is for matches/metrics only
+                x0h, x1h = jax.lax.stop_gradient((x0, x1))
+            else:
+                x0h, x1h = x0, x1
             scores, _, _ = head.apply(
-                {"params": p_head}, x0, x1, mask0_f, mask1_f, compute_scores=True
+                {"params": p_head}, x0h, x1h, mask0_f, mask1_f, compute_scores=True
             )
         if c.tp_axis and self._tp_active():
             # rows of the (B, N, M) assignment ride the token sharding
@@ -436,7 +493,22 @@ class LightGlue(BaseModel):
             "matching_scores0": jnp.where(mask0, ms0, 0.0),
             "matching_scores1": jnp.where(mask1, ms1, 0.0),
         }
-        if train:
+        if train and in_scan_loss:
+            for k in (
+                "assignment_nll",
+                "nll_pos",
+                "nll_neg",
+                "num_matchable",
+                "num_unmatchable",
+            ):
+                pred[f"all_{k}"] = per_layer[k]  # (L, B)
+            pred["all_argmax0"] = per_layer["argmax0"][:, :, :N]
+            pred["all_argmax1"] = per_layer["argmax1"][:, :, :M]
+            pred["all_conf0"] = per_layer["conf0"][:, :, :N]
+            pred["all_conf1"] = per_layer["conf1"][:, :, :M]
+            pred["keypoint_valid0"] = mask0
+            pred["keypoint_valid1"] = mask1
+        elif train:
             pred["all_log_assignment"] = per_layer["scores"][:, :, :N, :M]
             pred["all_conf0"] = per_layer["conf0"][:, :, :N]
             pred["all_conf1"] = per_layer["conf1"][:, :, :M]
@@ -583,21 +655,42 @@ class LightGlue(BaseModel):
         dustbin-inclusive argmax targets."""
         c = self.conf
         L = c.n_layers
-        all_scores = pred["all_log_assignment"]  # (L, B, N, M)
         gt0 = data["gt_matches0"]
         gt1 = data["gt_matches1"]
         mask0 = pred.get("keypoint_valid0")
         mask1 = pred.get("keypoint_valid1")
         balancing = float(c.loss["nll_balancing"])
 
-        def layer_nll(scores, z0, z1):
-            la = with_dustbins(scores, z0, z1, mask0, mask1)
-            out = nll_loss(la, gt0, gt1, nll_balancing=balancing)
-            return out["assignment_nll"], out
+        if "all_assignment_nll" in pred:
+            # loss.in_scan: the per-layer terms were reduced inside the scan
+            nlls = pred["all_assignment_nll"]  # (L, B)
+            per_layer = {
+                k: pred[f"all_{k}"]
+                for k in ("nll_pos", "nll_neg", "num_matchable", "num_unmatchable")
+            }
+            allm0 = pred["all_argmax0"]  # (L, B, N) incl. dustbin option
+            allm1 = pred["all_argmax1"]
+        else:
+            all_scores = pred["all_log_assignment"]  # (L, B, N, M)
 
-        nlls, per_layer = jax.vmap(layer_nll)(
-            all_scores, pred["all_z0"], pred["all_z1"]
-        )  # (L, B)
+            def layer_nll(scores, z0, z1):
+                la = with_dustbins(scores, z0, z1, mask0, mask1)
+                out = nll_loss(la, gt0, gt1, nll_balancing=balancing)
+                return out["assignment_nll"], out
+
+            nlls, per_layer = jax.vmap(layer_nll)(
+                all_scores, pred["all_z0"], pred["all_z1"]
+            )  # (L, B)
+
+            def full_argmax(scores, z0, z1):
+                la = with_dustbins(scores, z0, z1, mask0, mask1)
+                return jnp.argmax(la[:, :-1, :], -1), jnp.argmax(la[:, :, :-1], -2)
+
+            allm0, allm1 = jax.vmap(full_argmax)(
+                jax.lax.stop_gradient(all_scores),
+                jax.lax.stop_gradient(pred["all_z0"]),
+                jax.lax.stop_gradient(pred["all_z1"]),
+            )  # (L, B, N), (L, B, M)
         gamma = float(c.loss["gamma"])
         if gamma > 0:
             weights = jnp.asarray([gamma ** (L - 1 - i) for i in range(L)])
@@ -615,16 +708,6 @@ class LightGlue(BaseModel):
             # per-layer token confidence predicts whether the layer's match
             # (incl. the dustbin option) agrees with the final layer's
             # (reference `lightglue.py:81-94,620-633`); everything detached.
-            def full_argmax(scores, z0, z1):
-                la = with_dustbins(scores, z0, z1, mask0, mask1)
-                return jnp.argmax(la[:, :-1, :], -1), jnp.argmax(la[:, :, :-1], -2)
-
-            allm0, allm1 = jax.vmap(full_argmax)(
-                jax.lax.stop_gradient(all_scores),
-                jax.lax.stop_gradient(pred["all_z0"]),
-                jax.lax.stop_gradient(pred["all_z1"]),
-            )  # (L, B, N), (L, B, M)
-
             def conf_bce(now0, now1, conf0, conf1):
                 t0 = (now0 == allm0[-1]).astype(jnp.float32)
                 t1 = (now1 == allm1[-1]).astype(jnp.float32)

@@ -75,6 +75,51 @@ def test_lightglue_inference_matches_train_path():
     np.testing.assert_array_equal(np.asarray(pt["matches0"]), np.asarray(pi["matches0"]))
 
 
+def test_lightglue_in_scan_loss_matches_stacked():
+    """`loss.in_scan` reduces each layer's deep-supervision NLL inside the
+    scan (training memory O(1) in depth with remat) — loss values and
+    gradients must match the stacked-scores formulation exactly."""
+    rng = np.random.RandomState(0)
+    B, N, M = 2, 32, 24
+    data = {
+        "keypoints0": jnp.asarray(rng.rand(B, N, 2) * 400, jnp.float32),
+        "keypoints1": jnp.asarray(rng.rand(B, M, 2) * 400, jnp.float32),
+        "descriptors0": jnp.asarray(rng.randn(B, N, 64), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(B, M, 64), jnp.float32),
+        "gt_matches0": jnp.asarray(
+            np.where(rng.rand(B, N) < 0.5, rng.randint(0, M, (B, N)), -1),
+            jnp.int32,
+        ),
+        "gt_matches1": jnp.asarray(
+            np.where(rng.rand(B, M) < 0.5, rng.randint(0, N, (B, M)), -1),
+            jnp.int32,
+        ),
+        "keypoint_valid0": jnp.asarray(rng.rand(B, N) > 0.1),
+        "keypoint_valid1": jnp.asarray(rng.rand(B, M) > 0.1),
+    }
+    conf = {"n_layers": 3, "descriptor_dim": 64, "input_dim": 64, "num_heads": 4}
+    outs = {}
+    for in_scan in (False, True):
+        lg = get_model("lightglue").from_conf(
+            {**conf, "loss": {"in_scan": in_scan}}
+        )
+        params = lg.init(jax.random.PRNGKey(0), data, train=True)
+        loss_fn = lg.make_loss_fn()
+
+        def total(p):
+            pred = lg.apply(p, data, train=True)
+            losses, _ = loss_fn(pred, data)
+            return jnp.mean(losses["total"])
+
+        val, grad = jax.value_and_grad(total)(params)
+        outs[in_scan] = (float(val), grad)
+    assert outs[False][0] == pytest.approx(outs[True][0], abs=1e-6)
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), outs[False][1], outs[True][1]
+    )
+    assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
+
+
 def test_nn_matcher_identity():
     rng = np.random.RandomState(0)
     d = rng.randn(1, 32, 64).astype(np.float32)
