@@ -25,32 +25,29 @@ NEG_INF = -1e30
 
 
 def _assign_kernel(m0_ref, m1_ref, z0_ref, z1_ref, v0_ref, v1_ref, o_ref):
-    sim = jnp.dot(
-        m0_ref[0], m1_ref[0].T, preferred_element_type=jnp.float32
-    )  # (N, M)
+    # VMEM discipline: only `s` (masked similarity) lives across the whole
+    # kernel; exp buffers for the two logsumexps are consumed immediately.
+    # Invalid entries carry NEG_INF in `s`, so exp underflows to exactly 0
+    # without extra (N, M) mask buffers.
     valid0 = v0_ref[0] > 0  # (N,)
     valid1 = v1_ref[0] > 0  # (M,)
-    pair = valid0[:, None] & valid1[None, :]
-    s = jnp.where(pair, sim, NEG_INF)
-    # stabilized two-sided logsumexp
+    s = jnp.dot(m0_ref[0], m1_ref[0].T, preferred_element_type=jnp.float32)
+    s = jnp.where(valid0[:, None] & valid1[None, :], s, NEG_INF)
     mr = jnp.max(s, axis=1)  # (N,)
-    mc = jnp.max(s, axis=0)  # (M,)
     mr_s = jnp.where(mr > NEG_INF / 2, mr, 0.0)
-    mc_s = jnp.where(mc > NEG_INF / 2, mc, 0.0)
-    er = jnp.where(pair, jnp.exp(s - mr_s[:, None]), 0.0)
-    ec = jnp.where(pair, jnp.exp(s - mc_s[None, :]), 0.0)
-    lse_r = mr_s + jnp.log(jnp.maximum(jnp.sum(er, axis=1), 1e-30))
-    lse_c = mc_s + jnp.log(jnp.maximum(jnp.sum(ec, axis=0), 1e-30))
-    cert0 = jax.nn.log_sigmoid(z0_ref[0])  # (N,)
-    cert1 = jax.nn.log_sigmoid(z1_ref[0])  # (M,)
-    out = (
-        2.0 * sim
-        - lse_r[:, None]
-        - lse_c[None, :]
-        + cert0[:, None]
-        + cert1[None, :]
+    lse_r = mr_s + jnp.log(
+        jnp.maximum(jnp.sum(jnp.exp(s - mr_s[:, None]), axis=1), 1e-30)
     )
-    o_ref[0] = jnp.where(pair, out, MASKED)
+    mc = jnp.max(s, axis=0)  # (M,)
+    mc_s = jnp.where(mc > NEG_INF / 2, mc, 0.0)
+    lse_c = mc_s + jnp.log(
+        jnp.maximum(jnp.sum(jnp.exp(s - mc_s[None, :]), axis=0), 1e-30)
+    )
+    cert0 = jax.nn.log_sigmoid(z0_ref[0]) - lse_r  # (N,) row terms
+    cert1 = jax.nn.log_sigmoid(z1_ref[0]) - lse_c  # (M,) col terms
+    out = 2.0 * s + cert0[:, None] + cert1[None, :]
+    # valid entries: s == sim; invalid rows/cols: overwrite with MASKED
+    o_ref[0] = jnp.maximum(out, MASKED)
 
 
 @jax.jit
