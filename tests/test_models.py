@@ -120,6 +120,47 @@ def test_lightglue_in_scan_loss_matches_stacked():
     assert max(jax.tree_util.tree_leaves(diffs)) < 1e-5
 
 
+def test_in_scan_loss_cuts_training_memory():
+    """XLA's own memory analysis must show the in-scan + remat training step
+    using a fraction of the stacked formulation's temp memory (measured
+    6.7 GB -> 0.76 GB at B=8 @ 512 kpts, 9 layers)."""
+    rng = np.random.RandomState(0)
+    B, N = 4, 256
+    data = {
+        "keypoints0": jnp.asarray(rng.rand(B, N, 2) * 400, jnp.float32),
+        "keypoints1": jnp.asarray(rng.rand(B, N, 2) * 400, jnp.float32),
+        "descriptors0": jnp.asarray(rng.randn(B, N, 128), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(B, N, 128), jnp.float32),
+        "gt_matches0": jnp.asarray(rng.randint(-1, N, (B, N)), jnp.int32),
+        "gt_matches1": jnp.asarray(rng.randint(-1, N, (B, N)), jnp.int32),
+    }
+    temps = {}
+    for in_scan in (False, True):
+        lg = get_model("lightglue").from_conf(
+            {
+                "n_layers": 9,
+                "descriptor_dim": 128,
+                "input_dim": 128,
+                "num_heads": 4,
+                "loss": {"in_scan": in_scan},
+                "remat": in_scan,
+            }
+        )
+        params = lg.init(jax.random.PRNGKey(0), data, train=True)
+        loss_fn = lg.make_loss_fn()
+
+        def total(p):
+            pred = lg.apply(p, data, train=True)
+            losses, _ = loss_fn(pred, data)
+            return jnp.mean(losses["total"])
+
+        mem = jax.jit(jax.grad(total)).lower(params).compile().memory_analysis()
+        if mem is None:  # backend without memory analysis
+            pytest.skip("memory_analysis unavailable on this backend")
+        temps[in_scan] = mem.temp_size_in_bytes
+    assert temps[True] < temps[False] / 3, temps
+
+
 def test_nn_matcher_identity():
     rng = np.random.RandomState(0)
     d = rng.randn(1, 32, 64).astype(np.float32)
