@@ -261,3 +261,34 @@ def test_odometry_trajectory_ate():
     assert ate0 < 0.1, ate0
     assert ate1 <= ate0 + 1e-6
     assert ate1 < 0.02, (ate0, ate1)
+
+
+def test_bundle_adjust_scales_to_larger_scene():
+    """Map-scale sanity: 32 cameras x ~1500 landmarks, noisy init, converges
+    (the north-star direction: distributed BA over camera/landmark blocks)."""
+    rng = np.random.RandomState(7)
+    Rs, ts, pts, cam_idx, uv, valid = _scene(rng, C=32, P=1600)
+    C = Rs.shape[0]
+    # gauge: fix the two most-separated cameras (adjacent arc cameras are
+    # nearly coincident at C=32, which would leave global scale ill-fixed)
+    is_fixed = (jnp.arange(C) == 0) | (jnp.arange(C) == C - 1)
+    dR = so3_exp(jnp.asarray(rng.randn(C, 3) * 0.01, jnp.float32))
+    Rs0 = jnp.where(is_fixed[:, None, None], Rs, dR @ Rs)
+    ts0 = ts + jnp.where(is_fixed[:, None], 0.0, 0.02)
+    pts0 = pts + jnp.asarray(rng.randn(*pts.shape) * 0.02, jnp.float32)
+    fixed = is_fixed
+    Rn, tn, pn, info = jax.jit(
+        lambda *a: bundle_adjust(*a, fixed_cameras=fixed, iters=30)
+    )(Rs0, ts0, pts0, cam_idx, uv, valid)
+    assert float(info["cost"]) < 1e-8 * float(info["cost0"]) + 1e-12
+    # cameras recover to GT; point depths on the narrowest-baseline tracks
+    # are conditioning-limited in f32 (residuals ~1e-5 px), so assert on the
+    # well-conditioned quantities
+    rot_err = np.linalg.norm(
+        np.asarray(se3_log(Rn @ jnp.swapaxes(Rs, -1, -2),
+                           tn - jnp.einsum("cij,ckj,ck->ci", Rn, Rs, ts))),
+        axis=-1,
+    )
+    assert float(np.max(rot_err)) < 5e-3
+    pt_err = np.linalg.norm(np.asarray(pn) - np.asarray(pts), axis=1)
+    assert np.median(pt_err) < 5e-2
