@@ -293,6 +293,9 @@ class LightGlue(BaseModel):
         "depth_confidence": -1,  # adaptive depth (masked; -1 = off)
         "width_confidence": -1,  # adaptive width via masking (-1 = off)
         "dtype": "float32",  # "bfloat16": transformer compute on the MXU
+        # fused Pallas exit head (ops/pallas_assignment.py); off until
+        # validated on the real chip (see docs/kernels.md)
+        "kernel_exit_head": False,
         # rematerialize layer activations in the backward pass (the TPU
         # analog of the reference's per-layer gradient checkpointing,
         # `lightglue.py:484-492`): big-batch training trades ~30% step time
@@ -462,7 +465,11 @@ class LightGlue(BaseModel):
             head = MatchAssignment(
                 c.descriptor_dim,
                 c.dtype,
-                use_kernel=not in_scan_loss,
+                # fused Pallas head: correct in interpret mode but NOT yet
+                # validated on-chip (tunnel outage) — keep the proven XLA
+                # path until an on-chip run confirms it (kernel_exit_head)
+                use_kernel=bool(c.get("kernel_exit_head", False))
+                and not in_scan_loss,
                 parent=None,
             )
             p_head = jax.tree_util.tree_map(
@@ -622,7 +629,10 @@ class LightGlue(BaseModel):
         mask0, mask1 = mask0[:, :N], mask1[:, :M]
 
         head = MatchAssignment(
-            c.descriptor_dim, c.dtype, use_kernel=True, parent=None
+            c.descriptor_dim,
+            c.dtype,
+            use_kernel=bool(c.get("kernel_exit_head", False)),
+            parent=None,
         )
         p_head = slice_layer(lparams["log_assignment"], i_end - 1)
         scores, _, _ = head.apply(

@@ -62,7 +62,13 @@ def test_exit_head_uses_kernel_and_matches(interpret_pallas, monkeypatch):
         "descriptors0": jnp.asarray(rng.randn(2, 32, 64), jnp.float32),
         "descriptors1": jnp.asarray(rng.randn(2, 32, 64), jnp.float32),
     }
-    conf = {"n_layers": 2, "descriptor_dim": 64, "input_dim": 64, "num_heads": 4}
+    conf = {
+        "n_layers": 2,
+        "descriptor_dim": 64,
+        "input_dim": 64,
+        "num_heads": 4,
+        "kernel_exit_head": True,
+    }
     lg = get_model("lightglue").from_conf(conf)
     params = lg.init(jax.random.PRNGKey(0), data, train=True)
     p_xla = lg.apply(params, data, train=False)
