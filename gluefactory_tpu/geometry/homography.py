@@ -271,3 +271,64 @@ def homography_corner_error(T: jnp.ndarray, T_gt: jnp.ndarray, image_size):
     corners_gt = warp_points(corners, T_gt, inverse=False)
     d = jnp.linalg.norm(corners_t - corners_gt, axis=-1)
     return jnp.mean(d, axis=-1)
+
+
+def decompose_homography(H: jnp.ndarray):
+    """Decompose a calibrated (Euclidean) homography into motion candidates.
+
+    H: (3, 3) homography in *normalized* camera coordinates (K1^-1 H_pix K0),
+    sign-corrected so that x1h^T H x0h > 0 for true correspondences.
+    Returns (Rs, ts, ns): (4, 3, 3), (4, 3), (4, 3) — the four physically
+    distinct solutions of H ~ R + t n^T, with t scaled by the inverse plane
+    distance 1/d and n the unit plane normal in camera-0 coordinates.
+
+    Analytic construction from the eigen-structure of H^T H (the SVD-based
+    four-solution theorem for planar scenes); the TPU-native replacement for
+    pycolmap's HomographyMatrix decomposition inside
+    two_view_geometry_estimation (reference
+    `robust_estimators/relative_pose/pycolmap.py:26-33`). Pure-rotation
+    homographies (H^T H ~ I) degrade gracefully: the sqrt arguments clamp at
+    zero, giving t ~ 0 and R ~ the normalized H.
+    """
+    dtype = jnp.promote_types(H.dtype, jnp.float32)
+    H = H.astype(dtype)
+    # scale so the middle singular value is 1 (sigma2(H') = 1)
+    s = jnp.linalg.svd(H, compute_uv=False)
+    Hn = H / jnp.maximum(s[1], 1e-12)
+
+    M = Hn.T @ Hn  # symmetric, eigenvalues sigma3^2 <= 1 <= sigma1^2
+    evals, V = jnp.linalg.eigh(M)  # ascending
+    s32, s12 = evals[0], evals[2]
+    v1, v2, v3 = V[:, 2], V[:, 1], V[:, 0]
+    # keep the eigenbasis right-handed so cross products stay consistent
+    v3 = v3 * jnp.sign(jnp.dot(jnp.cross(v1, v2), v3) + 1e-30)
+
+    z1 = jnp.sqrt(jnp.maximum(s12 - 1.0, 0.0))
+    z3 = jnp.sqrt(jnp.maximum(1.0 - s32, 0.0))
+    den = jnp.sqrt(jnp.maximum(s12 - s32, 1e-12))
+    u1 = (z3 * v1 + z1 * v3) / den
+    u2 = (z3 * v1 - z1 * v3) / den
+    # re-normalize: |u| = 1 holds analytically, but in the pure-rotation
+    # limit (s12 ~ s32 ~ 1) the clamped denominator leaves u tiny or huge
+    # while its direction is numerical noise; a unit u keeps U/W orthonormal
+    # so R -> Hn and t -> 0 exactly as the theory prescribes.
+    u1 = u1 / jnp.maximum(jnp.linalg.norm(u1), 1e-12)
+    u2 = u2 / jnp.maximum(jnp.linalg.norm(u2), 1e-12)
+
+    def motion_from(u):
+        # orthonormal frames before/after the map: U = [v2, u, v2 x u],
+        # W = [Hn v2, Hn u, (Hn v2) x (Hn u)]; R maps U onto W.
+        U = jnp.stack([v2, u, jnp.cross(v2, u)], axis=-1)
+        Hv2, Hu = Hn @ v2, Hn @ u
+        W = jnp.stack([Hv2, Hu, jnp.cross(Hv2, Hu)], axis=-1)
+        R = W @ U.T
+        n = jnp.cross(v2, u)
+        t = (Hn - R) @ n
+        return R, t, n
+
+    R1, t1, n1 = motion_from(u1)
+    R2, t2, n2 = motion_from(u2)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t1, -t1, t2, -t2])
+    ns = jnp.stack([n1, -n1, n2, -n2])
+    return Rs, ts, ns

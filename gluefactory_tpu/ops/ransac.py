@@ -51,6 +51,39 @@ def _msac_score(err2: jnp.ndarray, th2: float, valid: jnp.ndarray):
     return jnp.sum(w, axis=-1), w
 
 
+def _magsac_score(err2: jnp.ndarray, th2: float, valid: jnp.ndarray, n_sigmas: int = 8):
+    """MAGSAC-style sigma-consensus score per hypothesis. err2: (S, N).
+
+    Instead of committing to one inlier threshold, marginalize the truncated
+    quadratic over a discretized set of noise scales tau_k = (k/K) * th,
+    k = 1..K (MAGSAC's sigma-partitioning, Barath et al., vectorized as one
+    broadcast instead of a per-scale host loop). Points with residuals far
+    below every scale keep weight ~1; points near the maximum threshold only
+    register at the widest scales, so a mis-set (too large) `th` degrades the
+    model far less than hard MSAC truncation. With n_sigmas=1 this is exactly
+    `_msac_score`. The same marginal weights drive the IRLS local
+    optimization (sigma-consensus polishing).
+
+    Replaces the reference's fixed-threshold PoseLib/OpenCV scoring
+    (reference `robust_estimators/*/poselib.py`) with a threshold-robust
+    variant; kept opt-in via the estimators' `scoring` conf.
+    """
+    k = jnp.arange(1, n_sigmas + 1, dtype=err2.dtype)  # (K,)
+    tau2 = th2 * (k / n_sigmas) ** 2  # (K,)
+    # (S, N, K) broadcast, mean over scales
+    w = jnp.maximum(0.0, 1.0 - err2[..., None] / tau2)
+    w = jnp.mean(w, axis=-1) * valid[None]
+    return jnp.sum(w, axis=-1), w
+
+
+def _make_score_fn(scoring: str, n_sigmas: int = 8):
+    if scoring == "msac":
+        return _msac_score
+    if scoring == "magsac":
+        return lambda err2, th2, valid: _magsac_score(err2, th2, valid, n_sigmas)
+    raise ValueError(f"unknown scoring {scoring!r}")  # pragma: no cover
+
+
 # ---------------------------------------------------------------------------
 # Homography
 # ---------------------------------------------------------------------------
@@ -65,13 +98,17 @@ def ransac_homography(
     num_hyps: int = 512,
     lo_iters: int = 3,
     min_matches: int = 4,
+    scoring: str = "msac",
+    n_sigmas: int = 8,
 ) -> RansacResult:
     """Single-pair homography LO-RANSAC. pts: (N, 2); valid: (N,) bool.
 
     Parity target: PoseLib `estimate_homography`
     (reference `robust_estimators/homography/poselib.py:8-40`).
+    scoring="magsac" marginalizes over noise scales (see `_magsac_score`).
     """
     N = pts0.shape[0]
+    score_fn = _make_score_fn(scoring, n_sigmas)
     validf = valid.astype(jnp.float32)
     idx = _sample_minimal_sets(key, validf, num_hyps, 4)  # (S, 4)
     p0 = pts0[idx]  # (S, 4, 2)
@@ -80,7 +117,7 @@ def ransac_homography(
     err = sym_homography_error(pts0[None], pts1[None], H)  # (S, N)
     err2 = err**2
     th2 = th * th
-    scores, w = _msac_score(err2, th2, validf)
+    scores, w = score_fn(err2, th2, validf)
     best = jnp.argmax(scores)
     H_best = H[best]
     w_best = w[best]
@@ -90,7 +127,7 @@ def ransac_homography(
         H_cur, w_cur, s_cur = carry
         H_new = compute_homography_dlt(pts0, pts1, w_cur)
         e2 = sym_homography_error(pts0, pts1, H_new) ** 2
-        s_new, w_new = _msac_score(e2[None], th2, validf)
+        s_new, w_new = score_fn(e2[None], th2, validf)
         s_new = s_new[0]
         w_new = w_new[0]
         better = s_new > s_cur
@@ -180,7 +217,7 @@ def _sampson_error(E, p0, p1):
     return num / jnp.sqrt(jnp.maximum(den, 1e-15))
 
 
-def refine_pose_gn(R0, t0, p0, p1, validf, th2, iters: int = 8):
+def refine_pose_gn(R0, t0, p0, p1, validf, th2, iters: int = 8, score_fn=_msac_score):
     """Local optimization on the pose manifold (PoseLib-parity LO).
 
     Gauss-Newton on the 5-DOF parametrization (so3 tangent of R, 2-dim
@@ -215,7 +252,7 @@ def refine_pose_gn(R0, t0, p0, p1, validf, th2, iters: int = 8):
 
     def step(params, _):
         r = resid(params)
-        w = jnp.maximum(0.0, 1.0 - (r * r) / th2) * validf  # MSAC weights
+        w = score_fn((r * r)[None], th2, validf)[1][0]  # robust IRLS weights
         J = jax.jacfwd(resid)(params)  # (N, 5)
         JtW = J.T * w[None]
         A = JtW @ J
@@ -223,10 +260,10 @@ def refine_pose_gn(R0, t0, p0, p1, validf, th2, iters: int = 8):
         A = A + 1e-8 * jnp.trace(A) * jnp.eye(5, dtype=A.dtype)
         delta = jnp.linalg.solve(A, g)
         new = params - delta
-        # keep the step only if the truncated objective improves
+        # keep the step only if the robust score improves
         def obj(p):
             rr = resid(p) ** 2
-            return jnp.sum(jnp.minimum(rr, th2) * validf)
+            return -score_fn(rr[None], th2, validf)[0][0]
 
         better = obj(new) < obj(params)
         return jnp.where(better, new, params), None
@@ -263,6 +300,8 @@ def ransac_essential(
     lo_iters: int = 3,
     min_matches: int = 8,
     solver: str = "5pt",
+    scoring: str = "msac",
+    n_sigmas: int = 8,
 ):
     """Single-pair essential-matrix LO-RANSAC in normalized coords.
 
@@ -280,6 +319,7 @@ def ransac_essential(
     soft inliers the 8-pt refit is well posed even when the scene is planar
     for the *minimal* sample.
     """
+    score_fn = _make_score_fn(scoring, n_sigmas)
     validf = valid.astype(jnp.float32)
     if solver == "5pt":
         from .essential_5pt import essential_5pt
@@ -297,7 +337,7 @@ def ransac_essential(
         raise ValueError(f"unknown essential solver {solver!r}")
     err = _matched_epi_distance(E, p0, p1)  # (S, N)
     th2 = th * th
-    scores, w = _msac_score(err**2, th2, validf)
+    scores, w = score_fn(err**2, th2, validf)
     scores = jnp.where(E_valid, scores, -jnp.inf)
     best = jnp.argmax(scores)
     E_best = E[best]
@@ -309,10 +349,10 @@ def ransac_essential(
     # for why a linear (weighted 8-point) refit is NOT used here.
     R0, t0 = pose_from_essential(E_best, p0, p1, w_best)
     R_gn, t_gn, E_gn = refine_pose_gn(
-        R0, t0, p0, p1, validf, th2, iters=4 * lo_iters
+        R0, t0, p0, p1, validf, th2, iters=4 * lo_iters, score_fn=score_fn
     )
     err_gn = _matched_epi_distance(E_gn[None], p0, p1)[0]
-    score_gn, _ = _msac_score(err_gn[None] ** 2, th2, validf)
+    score_gn, _ = score_fn(err_gn[None] ** 2, th2, validf)
     score_gn = score_gn[0]
     use_gn = score_gn >= score_best
     E_final = jnp.where(use_gn, E_gn, E_best)

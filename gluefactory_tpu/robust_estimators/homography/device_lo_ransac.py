@@ -23,6 +23,11 @@ class DeviceHomographyEstimator(BaseEstimator):
         "num_hypotheses": 512,
         "lo_iters": 3,
         "seed": 0,
+        # "msac" = fixed-threshold truncated quadratic; "magsac" =
+        # sigma-consensus marginalized over n_sigmas noise scales
+        # (threshold-robust, see ops/ransac._magsac_score)
+        "scoring": "msac",
+        "n_sigmas": 8,
     }
     required_data_keys = ("m_kpts0", "m_kpts1")
 
@@ -33,6 +38,8 @@ class DeviceHomographyEstimator(BaseEstimator):
                 th=th,
                 num_hyps=conf.num_hypotheses,
                 lo_iters=conf.lo_iters,
+                scoring=conf.scoring,
+                n_sigmas=conf.n_sigmas,
             ),
             static_argnames=(),
         )

@@ -31,6 +31,9 @@ class DeviceRelativePoseEstimator(BaseEstimator):
         # "5pt" = Nister minimal solver (PoseLib parity, robust on planar /
         # low-parallax scenes); "8pt" = cheaper linear solver
         "solver": "5pt",
+        # "msac" or "magsac" (sigma-consensus over n_sigmas scales)
+        "scoring": "msac",
+        "n_sigmas": 8,
     }
     required_data_keys = ("m_kpts0", "m_kpts1", "camera0", "camera1")
 
@@ -62,6 +65,8 @@ class DeviceRelativePoseEstimator(BaseEstimator):
             num_hyps=self.conf.num_hypotheses,
             lo_iters=self.conf.lo_iters,
             solver=self.conf.solver,
+            scoring=self.conf.scoring,
+            n_sigmas=self.conf.n_sigmas,
         )
         return {
             "success": res.success,
