@@ -76,6 +76,64 @@ class TrainState:
     rng: jnp.ndarray | None = None  # for in-graph augmentations ("aug" stream)
 
 
+def frozen_submodels(model_conf: Config) -> set:
+    """Top-level submodel keys frozen via `trainable: false`."""
+    frozen = set()
+    for key in ("extractor", "matcher", "filter", "solver", "ground_truth"):
+        sub = model_conf.get(key)
+        if sub and sub.get("name") and not sub.get("trainable", True):
+            frozen.add(key)
+    return frozen
+
+
+def _grad_leaf_names(grads):
+    """Flatten a grads pytree into {dotted-path: leaf} (flax params dicts)."""
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    out = {}
+    for path, leaf in flat:
+        name = ".".join(
+            str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+        )
+        out[name] = leaf
+    return out
+
+
+def audit_gradient_connectivity(model, params, data, rng, frozen_roots=()):
+    """Detect params with no gradient signal (reference `train.py:1129-1138`).
+
+    The torch analog is `param.grad is None` after backward — a param the
+    loss never touches, which deadlocks DDP with activation checkpointing.
+    In JAX every leaf always gets a gradient array, so the analog is a leaf
+    whose gradient is *identically zero* on a real batch. Frozen submodels
+    are excluded (their zero update is intentional, applied by optax).
+
+    Returns the list of disconnected leaf names; raises RuntimeError if any.
+    """
+    model_loss = model.make_loss_fn()
+
+    def scalar_loss(p):
+        pred = model.apply(p, data, train=True, rngs={"aug": rng})
+        losses, _ = model_loss(pred, {**data, **pred})
+        return jnp.mean(losses["total"].astype(jnp.float32))
+
+    grads = jax.jit(jax.grad(scalar_loss))(params)
+    leaves = _grad_leaf_names(grads)
+    dead = []
+    for name, g in leaves.items():
+        root = name.split(".")[1] if name.startswith("params.") else name.split(".")[0]
+        if root in frozen_roots:
+            continue
+        if not bool(jnp.any(g != 0)):
+            dead.append(name)
+            logger.warning(f"param {name} has no gradient signal.")
+    if dead:
+        raise RuntimeError(
+            f"Detected anomaly in training: {len(dead)} parameter leaves "
+            f"receive no gradient (e.g. {dead[:5]})."
+        )
+    return dead
+
+
 def build_optimizer(conf: Config, model_conf: Config):
     """optax chain from train conf (reference `train.py:965-1000`)."""
     base = {
@@ -112,11 +170,7 @@ def build_optimizer(conf: Config, model_conf: Config):
         tx = optax.chain(optax.clip_by_global_norm(conf.clip_grad), tx)
 
     # freeze submodels with trainable=false (reference freezes params)
-    frozen_roots = set()
-    for key in ("extractor", "matcher", "filter", "solver", "ground_truth"):
-        sub = model_conf.get(key)
-        if sub and sub.get("name") and not sub.get("trainable", True):
-            frozen_roots.add(key)
+    frozen_roots = frozen_submodels(model_conf)
     if frozen_roots:
         def label_tree(params):
             # params is the flax variables dict: {"params": {extractor: ...}}
@@ -142,8 +196,13 @@ def build_optimizer(conf: Config, model_conf: Config):
     return tx
 
 
-def make_step_fns(model, tx, mesh, mp_dtype=None):
-    """Build jitted (train_step, eval_step) over the mesh."""
+def make_step_fns(model, tx, mesh, mp_dtype=None, want_grad_norms=False):
+    """Build jitted (train_step, eval_step) over the mesh.
+
+    `want_grad_norms` adds per-leaf gradient L2 norms to the step stats
+    (scalars only — cheap) for `train.log_grad_every_iter` diagnostics
+    (reference `train.py:1185-1199` writes per-param grad histograms/norms).
+    """
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
 
@@ -181,6 +240,11 @@ def make_step_fns(model, tx, mesh, mp_dtype=None):
             "skipped": (~ok).astype(jnp.float32),
             "grad_norm": optax.global_norm(grads),
         }
+        if want_grad_norms:
+            stats["grad_norms"] = {
+                name: jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+                for name, g in _grad_leaf_names(grads).items()
+            }
         return new_state, losses, metrics, stats
 
     def eval_step(params, data):
@@ -403,8 +467,28 @@ def training(conf: Config, output_dir: Path, args=None):
         start_epoch = int(np.asarray(state.step)) // max(len(train_loader), 1)
         logger.info(f"restored from {ckpt} at step {int(np.asarray(state.step))}")
 
+    detect_anomaly = args is not None and getattr(args, "detect_anomaly", False)
     mp = {"bf16": jnp.bfloat16, None: None}[train_conf.mixed_precision]
-    train_step, eval_step, pred_step = make_step_fns(model, tx, mesh, mp)
+    train_step, eval_step, pred_step = make_step_fns(
+        model, tx, mesh, mp,
+        want_grad_norms=(
+            train_conf.log_grad_every_iter is not None or detect_anomaly
+        ),
+    )
+
+    if detect_anomaly:
+        # torch `--detect_anomaly` analog: (a) locate NaN-producing ops by
+        # re-running op-by-op on NaN (jax_debug_nans), (b) audit gradient
+        # connectivity from the FIRST train step's per-leaf grad norms
+        # (reference `train.py:1129-1138` checks `param.grad is None` after
+        # the first backward). Reusing the train step avoids compiling a
+        # second full-model gradient graph just for the audit
+        # (`audit_gradient_connectivity` stays available as the library API).
+        jax.config.update("jax_debug_nans", True)
+        logger.info(
+            "detect_anomaly: NaN localization on; will audit gradient "
+            "connectivity after the first step"
+        )
 
     stop_flag = {"stop": False}
 
@@ -416,7 +500,7 @@ def training(conf: Config, output_dir: Path, args=None):
 
     old_handler = signal.signal(signal.SIGINT, sigint_handler)
 
-    n_iter = int(np.asarray(state.step))
+    n_iter = start_iter = int(np.asarray(state.step))
     is_leader = jax.process_index() == 0
     losses_acc = defaultdict(AverageMetric)
 
@@ -458,6 +542,25 @@ def training(conf: Config, output_dir: Path, args=None):
             for it, data in enumerate(train_loader):
                 data = prepare_batch(data, mesh)
                 state, losses, metrics, stats = train_step(state, data)
+                if detect_anomaly and n_iter == start_iter:
+                    frozen = frozen_submodels(conf.model)
+                    dead = [
+                        name
+                        for name, g in jax.device_get(
+                            stats["grad_norms"]
+                        ).items()
+                        if float(g) == 0.0
+                        and name.split(".")[1 if name.startswith("params.")
+                                            else 0] not in frozen
+                    ]
+                    for name in dead:
+                        logger.warning(f"param {name} has no gradient signal.")
+                    if dead:
+                        raise RuntimeError(
+                            f"Detected anomaly in training: {len(dead)} "
+                            f"parameter leaves receive no gradient "
+                            f"(e.g. {dead[:5]})."
+                        )
                 n_iter += 1
                 for k, v in losses.items():
                     losses_acc[k].update(np.asarray(v))
@@ -479,9 +582,30 @@ def training(conf: Config, output_dir: Path, args=None):
                             float(np.asarray(stats["skipped"])),
                             n_iter,
                         )
+                        writer.add_scalar(
+                            "training/grad_norm",
+                            float(np.asarray(stats["grad_norm"])),
+                            n_iter,
+                        )
                         writer.add_scalar("training/it_per_s", ips, n_iter)
                     losses_acc = defaultdict(AverageMetric)
                     t_last = time.time()
+
+                if (
+                    train_conf.log_grad_every_iter is not None
+                    and n_iter % int(train_conf.log_grad_every_iter) == 0
+                    and writer
+                    and is_leader
+                ):
+                    # per-param gradient norms (reference `train.py:1185-1199`)
+                    norms = jax.device_get(stats["grad_norms"])
+                    grad_txt = ""
+                    for name, v in sorted(norms.items()):
+                        if name.endswith("bias"):
+                            continue
+                        writer.add_scalar(f"grad/{name}", float(v), n_iter)
+                        grad_txt += f"{name} {float(v):.3f}  \n"
+                    writer.add_text("grad/summary", grad_txt, n_iter)
 
                 if n_iter % train_conf.eval_every_iter == 0 or (
                     stop_flag["stop"]
@@ -571,6 +695,11 @@ def main_cli(argv=None):
     parser.add_argument("--restore", action="store_true")
     parser.add_argument("--overfit", action="store_true")
     parser.add_argument("--distributed", action="store_true")
+    parser.add_argument(
+        "--detect_anomaly", "--da", action="store_true",
+        help="audit gradient connectivity + localize NaN-producing ops "
+        "(reference train.py:962-963,1129-1138)",
+    )
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args(argv)
 
