@@ -1,0 +1,139 @@
+"""TPU-native LoFTR dense matcher: shapes, exact self-consistency of the
+coarse matching, GT construction, and a train-from-scratch overfit smoke.
+
+Reference surface: `gluefactory/models/matchers/kornia_loftr.py:7-60`
+(kornia wrapper, inference-only); this implementation is from scratch and
+additionally trainable (see module docstring).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from gluefactory_tpu.models import get_model
+
+CONF = {
+    "coarse_dim": 64,
+    "fine_dim": 32,
+    "backbone_dims": [8, 12, 16],
+    "n_layers": 2,
+    "heads": 4,
+    "max_num_matches": 32,
+    "conf_threshold": 0.0,
+}
+
+
+def _data(b=1, h=64, w=64, seed=0):
+    rng = np.random.RandomState(seed)
+    im0 = jnp.asarray(rng.rand(b, h, w, 1), jnp.float32)
+    # identity-warp pair: view1 is view0 (H = I), the easiest GT
+    return {
+        "view0": {"image": im0},
+        "view1": {"image": im0},
+        "H_0to1": jnp.broadcast_to(jnp.eye(3), (b, 3, 3)),
+    }
+
+
+def test_forward_shapes_and_contract():
+    model = get_model("matchers.loftr").from_conf(CONF)
+    data = _data()
+    params = model.init(jax.random.PRNGKey(0), data)
+    pred = model.apply(params, data)
+    K = CONF["max_num_matches"]
+    assert pred["keypoints0"].shape == (1, K, 2)
+    assert pred["keypoints1"].shape == (1, K, 2)
+    assert pred["matching_scores0"].shape == (1, K)
+    assert pred["keypoint_valid0"].dtype == bool
+    # aligned-list contract of the reference wrapper: matches = arange | -1
+    m = np.asarray(pred["matches0"][0])
+    v = np.asarray(pred["keypoint_valid0"][0])
+    assert (m[v] == np.arange(K)[v]).all() and (m[~v] == -1).all()
+    # keypoints lie inside the image
+    assert float(pred["keypoints0"].max()) < 64
+    assert float(pred["keypoints0"].min()) >= 0
+
+
+def test_identity_pair_is_diagonal():
+    """On an identical image pair the mutual-NN coarse match of every
+    selected cell must be the same cell (descriptors are equal)."""
+    model = get_model("matchers.loftr").from_conf(CONF)
+    data = _data()
+    params = model.init(jax.random.PRNGKey(0), data)
+    pred = model.apply(params, data)
+    v = np.asarray(pred["keypoint_valid0"][0])
+    p0 = np.asarray(pred["keypoints0"][0])[v]
+    p1 = np.asarray(pred["keypoints1"][0])[v]
+    assert v.sum() > 0
+    # fine refinement can move pts1 by < 1 coarse cell; coarse cells agree
+    np.testing.assert_allclose(p0, p1, atol=4.0)
+
+
+def test_gt_coarse_identity_homography():
+    model = get_model("matchers.loftr").from_conf(CONF)
+    data = _data()
+    bound = model.bind(model.init(jax.random.PRNGKey(0), data))
+    gt, warped, matched = bound._gt_coarse(data, 8, 8, 8, 8)
+    assert gt.shape == (1, 64, 65)
+    # identity homography: every cell matches itself
+    assert bool(matched.all())
+    np.testing.assert_array_equal(
+        np.argmax(np.asarray(gt[0]), axis=-1), np.arange(64))
+
+
+def test_gt_coarse_shift_homography():
+    model = get_model("matchers.loftr").from_conf(CONF)
+    data = _data()
+    # shift by exactly one coarse cell (8 px) in x
+    H = jnp.asarray(
+        [[1.0, 0.0, 8.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])[None]
+    data["H_0to1"] = H
+    bound = model.bind(model.init(jax.random.PRNGKey(0), data))
+    gt, warped, matched = bound._gt_coarse(data, 8, 8, 8, 8)
+    lab = np.argmax(np.asarray(gt[0]), axis=-1).reshape(8, 8)
+    grid = np.arange(64).reshape(8, 8)
+    # cells 0..6 map to their right neighbor; last column falls outside
+    np.testing.assert_array_equal(lab[:, :7], grid[:, 1:])
+    assert (lab[:, 7] == 64).all()  # unmatched column
+
+
+def test_loss_and_train_step_decreases():
+    model = get_model("matchers.loftr").from_conf(CONF)
+    data = _data()
+    params = model.init(jax.random.PRNGKey(0), data)
+    loss_fn = model.make_loss_fn()
+
+    @jax.jit
+    def step(params, opt_state):
+        def scalar(p):
+            pred = model.apply(p, data, train=True)
+            losses, _ = loss_fn(pred, {**data, **pred})
+            return jnp.mean(losses["total"]), losses
+
+        (l, losses), g = jax.value_and_grad(scalar, has_aux=True)(params)
+        updates, opt_state = tx.update(g, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, l
+
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    l0 = None
+    for i in range(30):
+        params, opt_state, l = step(params, opt_state)
+        if l0 is None:
+            l0 = float(l)
+    assert np.isfinite(l0)
+    assert float(l) < l0  # overfits the identity pair
+
+
+def test_rectangular_images_and_jit():
+    model = get_model("matchers.loftr").from_conf(CONF)
+    rng = np.random.RandomState(1)
+    data = {
+        "view0": {"image": jnp.asarray(rng.rand(2, 48, 64, 1), jnp.float32)},
+        "view1": {"image": jnp.asarray(rng.rand(2, 64, 48, 1), jnp.float32)},
+    }
+    params = model.init(jax.random.PRNGKey(0), data)
+    pred = jax.jit(lambda p, d: model.apply(p, d))(params, data)
+    assert pred["keypoints0"].shape == (2, CONF["max_num_matches"], 2)
+    assert np.isfinite(np.asarray(pred["keypoints1"])).all()
