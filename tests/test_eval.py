@@ -80,3 +80,45 @@ def test_hpatches_eval_pipeline(fake_hpatches, tmp_path, monkeypatch):
     # second run without overwrite reuses the cache
     s2, _, _ = pipeline.run(out_dir)
     assert s2["mprec@3px"] == s["mprec@3px"]
+
+
+def test_hpatches_eval_with_loftr(fake_hpatches, tmp_path, monkeypatch):
+    """The dense LoFTR matcher flows through the same eval harness as the
+    sparse pipelines (reference runs kornia_loftr through eval identically)."""
+    import gluefactory_tpu.datasets.hpatches as hp_data
+    import gluefactory_tpu.settings as settings
+
+    monkeypatch.setattr(settings, "DATA_PATH", fake_hpatches)
+    monkeypatch.setattr(hp_data, "DATA_PATH", fake_hpatches)
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.eval.hpatches import HPatchesPipeline
+
+    conf = Config.merge(
+        Config(HPatchesPipeline.default_conf),
+        {
+            "model": {
+                # extractor-less pipeline: the dense matcher consumes the
+                # raw views (reference io.load_model always wraps the model
+                # conf in two_view_pipeline, eval/io.py:88-92)
+                "name": "two_view_pipeline",
+                "matcher": {
+                    "name": "matchers.loftr",
+                    "backbone_dims": [8, 12, 16],
+                    "coarse_dim": 32,
+                    "fine_dim": 16,
+                    "n_layers": 1,
+                    "heads": 4,
+                    "max_num_matches": 64,
+                    "conf_threshold": 0.0,  # random init: keep mutual-NNs
+                },
+            },
+            "data": {"preprocessing": {"resize": 240, "square_pad": True}},
+            "eval": {"ransac_th": 2.0},
+        },
+    )
+    s, f, r = HPatchesPipeline(conf).run(tmp_path / "hp_loftr")
+    # random-init model: no quality floor, but the full pipeline (dense
+    # matches -> export -> de-scale -> RANSAC -> summaries) must run
+    assert "mprec@3px" in s and "H_error_ransac@1px" in s
+    assert np.isfinite(s["mnum_matches"])
