@@ -118,3 +118,18 @@ def test_viz2d_colormaps_and_grid():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_visualize_kp_rotation_script(tmp_path, capsys):
+    """Rotation-compare script (reference
+    `scripts/visualize_endomapper_rotation.py` analog) runs end-to-end on
+    the smoke config and writes plain/rot figure pairs."""
+    from gluefactory_tpu.scripts.visualize_kp_rotation import main
+
+    out = tmp_path / "rot"
+    assert main(["--config", "smoke_homography", "--split", "val",
+                 "--n-pairs", "1", "--out", str(out)]) == 0
+    pngs = sorted(p.name for p in out.glob("*.png"))
+    assert any(n.endswith("_plain.png") for n in pngs)
+    assert any(n.endswith("_rot.png") for n in pngs)
+    assert "total matches" in capsys.readouterr().out
