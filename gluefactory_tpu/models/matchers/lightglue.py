@@ -465,9 +465,12 @@ class LightGlue(BaseModel):
             head = MatchAssignment(
                 c.descriptor_dim,
                 c.dtype,
-                # fused Pallas head: correct in interpret mode but NOT yet
-                # validated on-chip (tunnel outage) — keep the proven XLA
-                # path until an on-chip run confirms it (kernel_exit_head)
+                # fused Pallas head: on-chip validated exact (match
+                # agreement 1.0, score delta 0.0 vs XLA at B=8/1024 kpts,
+                # scripts/validate_exit_head.py) but perf-neutral there
+                # (252.9 vs 253.5 pairs/s) — the post-scan restructure
+                # already removed the HBM-bound machinery. Off by default;
+                # available for larger tiles via kernel_exit_head.
                 use_kernel=bool(c.get("kernel_exit_head", False))
                 and not in_scan_loss,
                 parent=None,
