@@ -150,6 +150,13 @@ class MegaDepth1500Pipeline(EvalPipeline):
         summaries.update(
             eval_poses(pose_results, auc_ths=list(conf.auc_ths), key="rel_pose_error")
         )
+        # per-pair pose errors at the winning threshold, for subset
+        # breakdowns (eval/zeb.py) and the per-pair inspector
+        best_th = summaries.get("best_ransac_th")
+        if best_th in pose_results:
+            results["rel_pose_error"] = list(
+                pose_results[best_th]["rel_pose_error"]
+            )
         return summaries, {}, dict(results)
 
 

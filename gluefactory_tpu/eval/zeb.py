@@ -20,11 +20,10 @@ __main_class__ = "ZEBPipeline"
 class ZEBPipeline(ScanNet1500Pipeline):
     default_conf = {
         "data": {
-            "name": "posed_images",
-            "data_dir": "zeb",
-            "views_file": "views.txt",
-            "pairs_file": "pairs.txt",
-            "depth_dir": None,
+            # native ZEB layout (per-pair txt files, `datasets/zeb.py`);
+            # set name: posed_images to keep the generic views/pairs route
+            "name": "zeb",
+            "root": "zeb",
             "batch_size": 1,
             "test_batch_size": 1,
             "num_workers": 2,
