@@ -71,12 +71,20 @@ def bidirectional_cross_attention(
     softmaxed along each axis.
     """
     if _use_pallas():
-        # two fused passes (the row/col softmaxes of the shared sim)
-        from .pallas_attention import flash_attention, fused_attention
+        if _fits_fused(qk0, qk1):
+            # one shared similarity matmul + both softmaxes + both PV
+            # products in a single VMEM pass (3 MXU matmuls instead of 4)
+            from .pallas_attention import fused_bidirectional_attention
 
-        attn = fused_attention if _fits_fused(qk0, qk1) else flash_attention
-        m0 = attn(qk0, qk1, v1, mask1)
-        m1 = attn(qk1, qk0, v0, mask0)
+            return fused_bidirectional_attention(
+                qk0, qk1, v0, v1, mask0, mask1
+            )
+        # big tiles: two streaming passes (the row/col softmaxes of the
+        # shared sim, each recomputing its half)
+        from .pallas_attention import flash_attention
+
+        m0 = flash_attention(qk0, qk1, v1, mask1)
+        m1 = flash_attention(qk1, qk0, v0, mask0)
         return m0, m1
     scale = qk0.shape[-1] ** -0.25
     sim = jnp.einsum("bhnd,bhmd->bhnm", qk0 * scale, qk1 * scale)

@@ -250,3 +250,150 @@ def _kernel_wrapper_squeeze(q_ref, k_ref, v_ref, mask_ref, o_ref, **kw):
         q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], mask_ref.at[0],
         o_ref.at[0, 0], **kw
     )
+
+
+def _bidir_kernel(
+    q0_ref, q1_ref, v0_ref, v1_ref, neg0_ref, m1_ref, o0_ref, o1_ref,
+    *, sm_scale: float
+):
+    """Bidirectional cross-attention: ONE similarity matmul, both softmaxes.
+
+    LightGlue's cross-attention shares QK between directions
+    (`ops/attention.py:bidirectional_cross_attention`); the unidirectional
+    fused kernel computes the (N, M) similarity twice (once per direction).
+    This kernel computes S = Q0 Q1^T once in VMEM, row-softmax @ V1 for the
+    0<-1 message and column-softmax^T @ V0 for 1<-0 — 3 MXU matmuls instead
+    of 4 and one HBM read of the operands.
+
+    Mosaic layout rules (see ops/pallas_assignment.py): the row-side mask
+    arrives as an additive f32 (N, 1) term (neg0_ref), the column-side as a
+    boolean (1, M) (m1_ref); everything stays 2D.
+    """
+    q0 = q0_ref[0, 0]   # (Np, Dp)
+    q1 = q1_ref[0, 0]   # (Mp, Dp)
+    v0 = v0_ref[0, 0]
+    v1 = v1_ref[0, 0]
+    neg0 = neg0_ref[0]  # (Np, 1) f32: 0 valid / NEG_INF invalid rows
+    mask1 = m1_ref[0]   # (1, Mp) bool
+    s = jnp.dot(
+        q0 * sm_scale, (q1 * sm_scale).T, preferred_element_type=jnp.float32
+    )  # (Np, Mp)
+
+    # 0 <- 1: softmax over columns (axis -1), masked by mask1
+    s0 = jnp.where(mask1, s, NEG_INF)
+    mx0 = jnp.max(s0, axis=-1, keepdims=True)
+    p0 = jnp.where(mask1, jnp.exp(s0 - mx0), 0.0)
+    l0 = jnp.sum(p0, axis=-1, keepdims=True)
+    o0 = jnp.dot(
+        p0.astype(v1.dtype), v1, preferred_element_type=jnp.float32
+    ) / jnp.maximum(l0, 1e-30)
+    o0_ref[0, 0] = o0.astype(o0_ref.dtype)
+
+    # 1 <- 0: softmax over rows (axis 0), masked by the additive row term
+    s1 = s + neg0  # invalid rows -> <= NEG_INF
+    mx1 = jnp.max(s1, axis=0, keepdims=True)  # (1, Mp)
+    mx1 = jnp.where(mx1 > NEG_INF / 2, mx1, 0.0)
+    p1 = jnp.exp(s1 - mx1)  # masked rows underflow to exactly 0
+    l1 = jnp.sum(p1, axis=0, keepdims=True)  # (1, Mp)
+    o1 = jax.lax.dot_general(
+        p1.astype(v0.dtype), v0, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) / jnp.maximum(l1.T, 1e-30)  # (Mp, Dp)
+    o1_ref[0, 0] = o1.astype(o1_ref.dtype)
+
+
+@jax.custom_vjp
+def fused_bidirectional_attention(qk0, qk1, v0, v1, mask0=None, mask1=None):
+    """Shared-QK bidirectional cross-attention, one (b, h) tile per step.
+
+    qk0: (B, H, N, D); qk1: (B, H, M, D); v0/v1 likewise; mask0: (B, N);
+    mask1: (B, M). Returns (m0 (B, H, N, D), m1 (B, H, M, D)) — exactly
+    `bidirectional_cross_attention`'s XLA math. Backward recomputes with
+    dense XLA (training materializes (N, M) anyway).
+    """
+    return _bidir_impl(qk0, qk1, v0, v1, mask0, mask1)
+
+
+def _bidir_impl(qk0, qk1, v0, v1, mask0, mask1):
+    B, H, N, D = qk0.shape
+    M = qk1.shape[2]
+    if mask0 is None:
+        mask0 = jnp.ones((B, N), bool)
+    if mask1 is None:
+        mask1 = jnp.ones((B, M), bool)
+    scale = D ** -0.25  # applied to both operands: sim scales by D**-0.5
+    Dp = ((D + 127) // 128) * 128
+    Np = ((N + 127) // 128) * 128
+    Mp = ((M + 127) // 128) * 128
+    q0 = _pad_to(_pad_to(qk0, Np, 2), Dp, 3)
+    q1 = _pad_to(_pad_to(qk1, Mp, 2), Dp, 3)
+    v0p = _pad_to(_pad_to(v0, Np, 2), Dp, 3)
+    v1p = _pad_to(_pad_to(v1, Mp, 2), Dp, 3)
+    neg0 = jnp.where(
+        _pad_to(mask0, Np, 1, value=False), 0.0, NEG_INF
+    ).astype(jnp.float32)[:, :, None]  # (B, Np, 1)
+    m1p = _pad_to(mask1, Mp, 1, value=False)[:, None, :]  # (B, 1, Mp)
+
+    kernel = functools.partial(_bidir_kernel, sm_scale=scale)
+    o0, o1 = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, Np, Dp), qk0.dtype),
+            jax.ShapeDtypeStruct((B, H, Mp, Dp), qk0.dtype),
+        ),
+        grid=(B, H),
+        in_specs=[
+            pl.BlockSpec((1, 1, Np, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Np, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Np, 1), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, Np, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, Mp, Dp), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )(q0, q1, v0p, v1p, neg0, m1p)
+    return o0[:, :, :N, :D], o1[:, :, :M, :D]
+
+
+def _bidir_dense(qk0, qk1, v0, v1, mask0, mask1):
+    scale = qk0.shape[-1] ** -0.25
+    sim = jnp.einsum("bhnd,bhmd->bhnm", qk0 * scale, qk1 * scale)
+    sim0 = sim if mask1 is None else jnp.where(
+        mask1[:, None, None, :], sim, NEG_INF)
+    sim1 = sim if mask0 is None else jnp.where(
+        mask0[:, None, :, None], sim, NEG_INF)
+    a01 = jax.nn.softmax(sim0, axis=-1)
+    a10 = jax.nn.softmax(sim1, axis=-2)
+    if mask1 is not None:
+        a01 = jnp.where(jnp.any(mask1, -1)[:, None, None, None], a01, 0.0)
+    if mask0 is not None:
+        a10 = jnp.where(jnp.any(mask0, -1)[:, None, None, None], a10, 0.0)
+    return a01, a10
+
+
+def _bidir_fwd(qk0, qk1, v0, v1, mask0, mask1):
+    return _bidir_impl(qk0, qk1, v0, v1, mask0, mask1), (
+        qk0, qk1, v0, v1, mask0, mask1)
+
+
+def _bidir_bwd(res, g):
+    qk0, qk1, v0, v1, mask0, mask1 = res
+    g0, g1 = g
+    scale = qk0.shape[-1] ** -0.25
+    a01, a10 = _bidir_dense(qk0, qk1, v0, v1, mask0, mask1)
+    dv1 = jnp.einsum("bhnm,bhnd->bhmd", a01, g0)
+    dv0 = jnp.einsum("bhnm,bhmd->bhnd", a10, g1)
+    dp0 = jnp.einsum("bhnd,bhmd->bhnm", g0, v1)
+    dp1 = jnp.einsum("bhmd,bhnd->bhnm", g1, v0)
+    ds0 = a01 * (dp0 - jnp.sum(dp0 * a01, axis=-1, keepdims=True))
+    ds1 = a10 * (dp1 - jnp.sum(dp1 * a10, axis=-2, keepdims=True))
+    ds = (ds0 + ds1) * scale * scale
+    dq0 = jnp.einsum("bhnm,bhmd->bhnd", ds, qk1)
+    dq1 = jnp.einsum("bhnm,bhnd->bhmd", ds, qk0)
+    return dq0, dq1, dv0, dv1, None, None
+
+
+fused_bidirectional_attention.defvjp(_bidir_fwd, _bidir_bwd)
