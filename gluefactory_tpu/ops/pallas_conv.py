@@ -207,3 +207,98 @@ def fused_conv1_pool(x, k, b, block_rows: int = 8):
         ],
     )(xin, halo, kf, b)
     return _col_pool(y)
+
+
+# ---------------------------------------------------------------- fused NMS
+
+
+_NMS_ROWS = 48  # rows per grid step (multiple of 8)
+_NMS_HALO = 24  # >= radius * 5 sequential pools, multiple of 8
+
+
+def _nms_kernel(top_ref, mid_ref, bot_ref, o_ref, *, radius: int,
+                iters: int, h: int, w: int):
+    """Iterative max-pool NMS with every intermediate in VMEM.
+
+    The XLA path (`ops/keypoints.simple_nms`) runs 5 separable max-pools as
+    10 shifted-max passes over HBM; here a row block (+halo rows from the
+    clamped-index neighbor blocks) sits in VMEM and the pools are
+    lane/sublane `pltpu.roll`s with iota edge masks (strided lane slicing
+    does not lower; rolls do). One HBM read + one write per pixel. A whole
+    (480, 640) map per step blows the 16 MB scoped-VMEM budget (the
+    compiler keeps ~15 pool intermediates alive), hence the row blocking.
+    """
+    R, K = _NMS_ROWS, _NMS_HALO
+    i = pl.program_id(1)
+    x = jnp.concatenate(
+        [top_ref[0, R - K:], mid_ref[0], bot_ref[0, :K]], axis=0
+    )  # (R + 2K, W)
+    hb = R + 2 * K
+    neg = jnp.float32(-1e30)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 1)
+    row_local = jax.lax.broadcasted_iota(jnp.int32, (hb, w), 0)
+    # global row of each halo'd-block row; clamped neighbor blocks (first /
+    # last grid step) land outside [0, h) here and are masked to -inf
+    row = row_local + i * R - K
+    x = jnp.where((row >= 0) & (row < h), x, neg)
+
+    def max_pool(x):
+        # pltpu.roll needs non-negative shifts: (size - d) is the backward
+        # roll. Row-direction wrap-around is masked by the halo (wrapped
+        # values land > radius rows away from any row we keep).
+        m = x
+        for d in range(1, radius + 1):
+            m = jnp.maximum(m, pltpu.roll(x, hb - d, 0))
+            m = jnp.maximum(m, pltpu.roll(x, d, 0))
+        x2 = m
+        for d in range(1, radius + 1):
+            lf = pltpu.roll(m, w - d, 1)   # value at col j+d
+            rt = pltpu.roll(m, d, 1)       # value at col j-d
+            x2 = jnp.maximum(x2, jnp.where(col < w - d, lf, neg))
+            x2 = jnp.maximum(x2, jnp.where(col >= d, rt, neg))
+        return x2
+
+    zeros = jnp.zeros_like(x)
+    scores = jnp.where((row >= 0) & (row < h), x, zeros)
+    max_mask = x == max_pool(x)
+    for _ in range(iters):
+        supp_mask = max_pool(max_mask.astype(jnp.float32)) > 0
+        supp_scores = jnp.where(supp_mask, zeros, x)
+        new_max_mask = supp_scores == max_pool(supp_scores)
+        max_mask = max_mask | (new_max_mask & ~supp_mask)
+    o_ref[0] = jnp.where(max_mask, scores, zeros)[K:K + R]
+
+
+def fused_nms(scores, radius: int = 4, iters: int = 2):
+    """simple_nms as one Pallas pass: scores (..., H, W) -> NMS'd scores.
+
+    Requires H divisible by the row block (48); callers fall back to the
+    XLA path otherwise (`ops/keypoints.simple_nms`).
+    """
+    shape = scores.shape
+    H, W = shape[-2], shape[-1]
+    if H % _NMS_ROWS or radius * (1 + 2 * iters) > _NMS_HALO:
+        raise ValueError(f"fused_nms needs H % {_NMS_ROWS} == 0 and "
+                         f"radius*(1+2*iters) <= {_NMS_HALO}")
+    x = scores.reshape(-1, H, W).astype(jnp.float32)
+    B = x.shape[0]
+    nb = H // _NMS_ROWS
+    kernel = functools.partial(
+        _nms_kernel, radius=radius, iters=iters, h=H, w=W)
+    blk = (1, _NMS_ROWS, W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nb),
+        in_specs=[
+            pl.BlockSpec(blk, lambda b, i: (b, jnp.maximum(i - 1, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(blk, lambda b, i: (b, jnp.minimum(i + 1, nb - 1), 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(blk, lambda b, i: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+    )(x, x, x)
+    return out.reshape(shape).astype(scores.dtype)

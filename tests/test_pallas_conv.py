@@ -89,3 +89,19 @@ def test_superpoint_fused_stages_matches_standard(interpret_pallas, monkeypatch)
     np.testing.assert_array_equal(
         np.asarray(p0["dense_scores"]), np.asarray(pt["dense_scores"])
     )
+
+
+def test_fused_nms_matches_simple_nms(interpret_pallas):
+    """Single-pass Pallas NMS (clamped-halo row blocks, pltpu.roll pools)
+    is bit-exact vs ops/keypoints.simple_nms. Kept as a documented negative
+    result: measured 0.42 vs 0.28 ms/batch for the XLA shifted-max path on
+    v5e (grid-step overhead dominates at 48-row blocks)."""
+    import gluefactory_tpu.ops.pallas_conv as pc
+    from gluefactory_tpu.ops.keypoints import simple_nms
+
+    rng = np.random.RandomState(0)
+    for B, H, W in ((2, 96, 128), (1, 480, 640)):
+        s = jnp.asarray(rng.rand(B, H, W), jnp.float32) ** 4
+        a = np.asarray(simple_nms(s, 4))
+        b = np.asarray(pc.fused_nms(s, 4))
+        np.testing.assert_array_equal(a, b)
