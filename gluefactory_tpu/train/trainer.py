@@ -659,6 +659,23 @@ def training(conf: Config, output_dir: Path, args=None):
                     and it + 1 >= train_conf.get("overfit_iters", 100)
                 ):
                     break
+            # end-of-epoch checkpoint (reference `train.py` saves every
+            # epoch; eval-linked saves alone can miss short runs entirely)
+            if is_leader and n_iter > start_iter:
+                best_eval = save_experiment(
+                    output_dir,
+                    jax.device_get(
+                        {
+                            "params": state.params,
+                            "opt_state": state.opt_state,
+                            "step": state.step,
+                        }
+                    ),
+                    conf=conf,
+                    step=n_iter,
+                    best_eval=best_eval,
+                    keep_last=train_conf.keep_last_checkpoints,
+                )
             if conf.get("benchmarks"):
                 run_epoch_benchmarks(epoch)
     except KeyboardInterrupt:
