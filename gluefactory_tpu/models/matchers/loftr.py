@@ -329,17 +329,39 @@ class LoFTR(BaseModel):
         }
         if train:
             pred["coarse_matrix"] = P
-            pred["fine_pts0"] = pts0
-            pred["fine_pts1"] = pts1_ref
+            # GT runs in-forward (the framework's run_gt_in_forward pattern)
+            # so the fine stage can be TEACHER-FORCED on GT coarse matches:
+            # model-selected matches are never cell-correct at random init,
+            # which would starve the fine branch of gradients from scratch
+            # (official LoFTR supervises fine on GT coarse matches too).
+            j_gt, warped, matched = self._gt_coarse(data, Hc, Wc, Hc1, Wc1)
+            tf_flag, tf_i = jax.lax.top_k(matched.astype(jnp.float32), K)
+            tf_valid = tf_flag > 0
+            tf_pts0 = jnp.stack(
+                [(tf_i % Wc) + 0.5, (tf_i // Wc) + 0.5], -1) * stride - 0.5
+            tf_gt = jnp.take_along_axis(
+                warped, tf_i[..., None].repeat(2, -1), axis=1)
+            tf_cell = ((tf_gt + 0.5) / stride - 0.5).round()
+            tf_cell = jnp.clip(tf_cell, 0, jnp.asarray(
+                [Wc1 - 1, Hc1 - 1], tf_cell.dtype))
+            tf_pts1 = (tf_cell + 0.5) * stride - 0.5
+            tf_ref, _ = self._fine_refine(f0, f1, tf_pts0, tf_pts1)
+            pred["gt_cell1"] = j_gt
+            pred["gt_matched"] = matched
+            pred["fine_tf_pts1"] = tf_ref
+            pred["fine_tf_gt"] = tf_gt
+            pred["fine_tf_valid"] = tf_valid
         return pred
 
     # -- training ----------------------------------------------------------
 
     def _gt_coarse(self, data, Hc, Wc, Hc1, Wc1):
-        """GT (B, N, M+1) assignment by warping coarse cell centers.
+        """GT assignment by warping coarse cell centers.
 
         Uses `H_0to1` when present (homography pipelines); otherwise
-        depth+pose via `geometry.depth.project`. Column M is "unmatched".
+        depth+pose via `geometry.depth.project`. Returns (j (B, N) int32
+        target cell per view-0 cell with M = unmatched sentinel,
+        warped (B, N, 2) px, matched (B, N) bool).
         """
         stride = 8
         xs = (jnp.arange(Wc) + 0.5) * stride - 0.5
@@ -376,41 +398,33 @@ class LoFTR(BaseModel):
         dist = jnp.linalg.norm(warped - center, axis=-1)
         thr = self.conf.loss.coarse_px_thresh
         matched = vis & (dist < thr)
-        j = jnp.where(matched, j, Hc1 * Wc1)  # unmatched -> extra column
-        gt = jax.nn.one_hot(j, Hc1 * Wc1 + 1, dtype=jnp.float32)
-        return gt, warped, matched
+        j = jnp.where(matched, j, Hc1 * Wc1)  # unmatched -> sentinel M
+        return j, warped, matched
 
     def loss(self, pred, data):
         c = self.conf.loss
         P = pred["coarse_matrix"].astype(jnp.float32)  # (B, N, M)
-        # coarse grid shapes from the (static) image shapes; H, W must be
-        # divisible by 8 (backbone strides 2*2*2 with SAME padding)
-        Hc, Wc = (s // 8 for s in data["view0"]["image"].shape[1:3])
-        Hc1, Wc1 = (s // 8 for s in data["view1"]["image"].shape[1:3])
-        gt, warped, matched = self._gt_coarse(data, Hc, Wc, Hc1, Wc1)
-        pos = gt[..., :-1]  # (B, N, M)
+        j_gt = pred["gt_cell1"]                        # (B, N), M = unmatched
+        matched = pred["gt_matched"]                   # (B, N)
 
-        # focal NLL on positive cells of the dual-softmax matrix
-        p_pos = jnp.clip((P * pos).sum(-1), 1e-6, 1.0 - 1e-6)  # (B, N)
+        # focal NLL on positive cells of the dual-softmax matrix (the GT
+        # target probability gathered by index; sentinel hits a zero pad)
+        P_pad = jnp.pad(P, ((0, 0), (0, 0), (0, 1)))
+        p_pos = jnp.take_along_axis(P_pad, j_gt[..., None], axis=-1)[..., 0]
+        p_pos = jnp.clip(p_pos, 1e-6, 1.0 - 1e-6)
         w_pos = (1.0 - p_pos) ** c.focal_gamma
         n_pos = jnp.maximum(matched.sum(-1), 1)
         coarse = (
             jnp.where(matched, -w_pos * jnp.log(p_pos), 0.0).sum(-1) / n_pos)
 
-        # fine loss: L2 between refined point and the GT warp, for the
-        # selected top-K matches whose coarse cell was correct
-        stride = 8
-        cyx = ((pred["fine_pts0"] + 0.5) / stride - 0.5).round().astype(jnp.int32)
-        i_cell = jnp.clip(cyx[..., 1] * Wc + cyx[..., 0], 0, Hc * Wc - 1)
-        gt_pt = jnp.take_along_axis(
-            warped, i_cell[..., None].repeat(2, -1), axis=1)
-        sel_ok = (
-            jnp.take_along_axis(matched, i_cell, axis=1)
-            & (pred["matches0"] >= 0))
-        err = jnp.linalg.norm(pred["fine_pts1"] - gt_pt, axis=-1)
+        # fine loss: L2 between the teacher-forced refinement (GT coarse
+        # matches, computed in-forward) and the exact GT warp
+        err = jnp.linalg.norm(
+            pred["fine_tf_pts1"] - pred["fine_tf_gt"], axis=-1)
+        tf_valid = pred["fine_tf_valid"]
         fine = (
-            jnp.where(sel_ok, err, 0.0).sum(-1)
-            / jnp.maximum(sel_ok.sum(-1), 1))
+            jnp.where(tf_valid, err, 0.0).sum(-1)
+            / jnp.maximum(tf_valid.sum(-1), 1))
 
         total = coarse + c.fine_weight * fine
         metrics = {

@@ -74,12 +74,11 @@ def test_gt_coarse_identity_homography():
     model = get_model("matchers.loftr").from_conf(CONF)
     data = _data()
     bound = model.bind(model.init(jax.random.PRNGKey(0), data))
-    gt, warped, matched = bound._gt_coarse(data, 8, 8, 8, 8)
-    assert gt.shape == (1, 64, 65)
+    j, warped, matched = bound._gt_coarse(data, 8, 8, 8, 8)
+    assert j.shape == (1, 64)
     # identity homography: every cell matches itself
     assert bool(matched.all())
-    np.testing.assert_array_equal(
-        np.argmax(np.asarray(gt[0]), axis=-1), np.arange(64))
+    np.testing.assert_array_equal(np.asarray(j[0]), np.arange(64))
 
 
 def test_gt_coarse_shift_homography():
@@ -90,12 +89,12 @@ def test_gt_coarse_shift_homography():
         [[1.0, 0.0, 8.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]])[None]
     data["H_0to1"] = H
     bound = model.bind(model.init(jax.random.PRNGKey(0), data))
-    gt, warped, matched = bound._gt_coarse(data, 8, 8, 8, 8)
-    lab = np.argmax(np.asarray(gt[0]), axis=-1).reshape(8, 8)
+    j, warped, matched = bound._gt_coarse(data, 8, 8, 8, 8)
+    lab = np.asarray(j[0]).reshape(8, 8)
     grid = np.arange(64).reshape(8, 8)
     # cells 0..6 map to their right neighbor; last column falls outside
     np.testing.assert_array_equal(lab[:, :7], grid[:, 1:])
-    assert (lab[:, 7] == 64).all()  # unmatched column
+    assert (lab[:, 7] == 64).all()  # unmatched sentinel
 
 
 def test_loss_and_train_step_decreases():
@@ -124,6 +123,10 @@ def test_loss_and_train_step_decreases():
             l0 = float(l)
     assert np.isfinite(l0)
     assert float(l) < l0  # overfits the identity pair
+    # the teacher-forced fine branch carries gradients from step 0
+    pred = model.apply(params, data, train=True)
+    losses, _ = loss_fn(pred, {**data, **pred})
+    assert float(jnp.mean(losses["fine"])) > 0.0
 
 
 def test_rectangular_images_and_jit():
