@@ -21,7 +21,10 @@ import numpy as np
 
 BASELINE_PAIRS_PER_S = 55.0
 BATCH = 8
-ITERS = 12
+# 24 iters x ~30 ms/batch ≈ 0.7 s of forced compute per timed call: the
+# ~30 ms RPC floor (subtracted, but noisy at ±10 ms) drops to <2% of the
+# signal. 12 iters left the floor variance at ~5-8% of the measurement.
+ITERS = 24
 SIZE = (640, 480)  # (w, h)
 NUM_KPTS = 1024
 
