@@ -60,6 +60,50 @@ def exists_eval(dir_: Path):
     return (dir_ / "results.h5").exists() and (dir_ / "summaries.json").exists()
 
 
+def export_stage_timings(model, variables, loader, experiment_dir, reps=10):
+    """Per-stage timing/memory export (reference fork `_profile_call`,
+    `two_view_pipeline.py:360-404` + `eval/hpatches.py:30-43`).
+
+    The fork times every pair on CUDA; with XLA's static shapes one measured
+    batch is representative, so Loop 1 measures the jitted extractor / full
+    pipeline once (reps-amortized) and writes `timings.json` with the fork's
+    key names (extractor_time_ms, matcher_time_ms, total_time_ms,
+    forward_allocated_memory_mb, pair_resolution). `run()` merges the keys
+    into summaries.json.
+    """
+    import jax
+
+    try:
+        from ..utils.profiling import time_pipeline_stages
+
+        if not hasattr(model, "extract_view"):
+            return None
+        data = next(iter(loader))
+
+        def strip(d):
+            if isinstance(d, dict):
+                return {
+                    k: strip(v)
+                    for k, v in d.items()
+                    if isinstance(v, dict) or hasattr(v, "ndim")
+                }
+            return d
+
+        import jax.numpy as jnp
+
+        clean = jax.tree.map(lambda t: jnp.asarray(t), strip(data))
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), clean)
+        t = time_pipeline_stages(model, variables, clean, reps=reps)
+        with open(Path(experiment_dir) / "timings.json", "w") as f:
+            json.dump({k: float(v) for k, v in t.items()}, f, indent=2)
+        logger.info(f"stage timings: {t}")
+        return t
+    except Exception as e:  # timing must never fail an eval run
+        logger.warning(f"stage timing export failed: {e}")
+        return None
+
+
 class EvalPipeline:
     default_conf = {}
     export_keys = []
@@ -99,6 +143,13 @@ class EvalPipeline:
         f = {}
         if not exists_eval(experiment_dir) or overwrite_eval or overwrite:
             s, f, r = self.run_eval(self.get_dataloader(self.conf.get("data")), pred_file)
+            # fork parity: per-stage timing keys flow into the summaries
+            # (reference `eval/hpatches.py:30-43,135-143`)
+            timing_file = experiment_dir / "timings.json"
+            if timing_file.exists():
+                with open(timing_file) as tf:
+                    for k, v in json.load(tf).items():
+                        s.setdefault(f"m{k}", float(v))
             save_eval(experiment_dir, s, f, r)
         s, r = load_eval(experiment_dir)
         return s, f, r

@@ -87,6 +87,11 @@ class MegaDepth1500Pipeline(EvalPipeline):
             keys=self.export_keys,
             optional_keys=self.optional_export_keys,
         )
+        from .eval_pipeline import export_stage_timings
+
+        export_stage_timings(
+            model[0], model[1], self.get_dataloader(self.conf.data), experiment_dir
+        )
         return pred_file
 
     def run_eval(self, loader, pred_file):

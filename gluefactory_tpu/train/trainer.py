@@ -65,6 +65,8 @@ default_train_conf = {
     "submodules": [],
     "overfit": False,
     "mixed_precision": None,  # "bf16" casts the forward to bfloat16
+    "allow_idle_devices": False,  # opt-in to batch%devices!=0 idling chips
+    "profile_iters": 4,  # device-trace window for --profile
 }
 
 
@@ -251,7 +253,9 @@ def make_step_fns(model, tx, mesh, mp_dtype=None, want_grad_norms=False):
         pred = model.apply(
             params, data, train=True, rngs={"aug": jax.random.PRNGKey(0)}
         )
-        losses, metrics = model_loss(pred, {**pred, **data})
+        # same dict precedence as the train path: in-forward GT (pred) wins
+        # over any cached gt_* keys a dataset may supply
+        losses, metrics = model_loss(pred, {**data, **pred})
         return losses, metrics
 
     def pred_step(params, data):
@@ -415,9 +419,9 @@ def training(conf: Config, output_dir: Path, args=None):
         val_loader = dataset.get_data_loader("val")
 
     model = get_model(conf.model.name).from_conf(conf.model)
-    # the data axis must divide the batch; use gcd(batch, devices) and leave
-    # the rest of the devices idle (a too-small batch is a config smell that
-    # we log rather than crash on)
+    # the data axis must divide the batch (reference errors loudly on bad DDP
+    # configs, train.py:631-638); leaving devices idle silently costs up to
+    # n_dev/gcd x throughput on a pod, so it is a hard error unless opted in
     import math
 
     n_dev = len(jax.devices())
@@ -426,10 +430,16 @@ def training(conf: Config, output_dir: Path, args=None):
     batch = int(dataset.conf.get("train_batch_size", 1)) * jax.process_count()
     data_axis = math.gcd(batch, n_dev)
     if data_axis < n_dev:
-        logger.warning(
-            f"batch size {batch} not divisible by {n_dev} devices; using "
-            f"{data_axis}-way data parallelism"
+        msg = (
+            f"global batch size {batch} is not divisible by {n_dev} devices: "
+            f"only {data_axis}-way data parallelism is possible and "
+            f"{n_dev - data_axis} devices would sit idle"
         )
+        if not train_conf.get("allow_idle_devices", False):
+            raise ValueError(
+                msg + ". Fix the batch size or set train.allow_idle_devices=true."
+            )
+        logger.warning(msg + " (allow_idle_devices=true)")
     mesh = make_mesh(data=data_axis, model=1, devices=jax.devices()[:data_axis])
     logger.info(f"mesh: {mesh}")
 
@@ -490,6 +500,34 @@ def training(conf: Config, output_dir: Path, args=None):
             "connectivity after the first step"
         )
 
+    # --profile: jax.profiler device trace over a few post-compile steps
+    # (reference `train.py:1014-1022,1160-1161` torch.profiler schedule:
+    # wait 1 compile step, then `profile_iters` active steps -> TB trace)
+    profiling = args is not None and getattr(args, "profile", False)
+    prof = {"stack": None, "done": not profiling, "start": None}
+
+    def profile_step(rel_iter):
+        from contextlib import ExitStack
+
+        from ..utils.profiling import profile_trace
+
+        if prof["done"]:
+            return
+        if prof["stack"] is None and rel_iter >= 1:  # skip the compile step
+            jax.block_until_ready(state.params)
+            prof["stack"] = ExitStack()
+            prof["stack"].enter_context(profile_trace(output_dir / "profile"))
+            prof["start"] = rel_iter
+            logger.info(f"profiling {train_conf.profile_iters} steps")
+        elif (
+            prof["stack"] is not None
+            and rel_iter - prof["start"] >= int(train_conf.profile_iters)
+        ):
+            jax.block_until_ready(state.params)
+            prof["stack"].close()
+            prof["done"] = True
+            logger.info(f"profile trace written to {output_dir / 'profile'}")
+
     stop_flag = {"stop": False}
 
     def sigint_handler(signum, frame):
@@ -542,6 +580,7 @@ def training(conf: Config, output_dir: Path, args=None):
             for it, data in enumerate(train_loader):
                 data = prepare_batch(data, mesh)
                 state, losses, metrics, stats = train_step(state, data)
+                profile_step(n_iter - start_iter)
                 if detect_anomaly and n_iter == start_iter:
                     frozen = frozen_submodels(conf.model)
                     dead = [
@@ -679,6 +718,9 @@ def training(conf: Config, output_dir: Path, args=None):
             if conf.get("benchmarks"):
                 run_epoch_benchmarks(epoch)
     except KeyboardInterrupt:
+        if prof["stack"] is not None and not prof["done"]:
+            prof["stack"].close()
+            prof["done"] = True
         logger.info("interrupted; saving checkpoint_interrupted")
         if is_leader:
             save_experiment(
@@ -712,6 +754,11 @@ def main_cli(argv=None):
     parser.add_argument("--restore", action="store_true")
     parser.add_argument("--overfit", action="store_true")
     parser.add_argument("--distributed", action="store_true")
+    parser.add_argument(
+        "--profile", action="store_true",
+        help="jax.profiler trace over train.profile_iters post-compile steps "
+        "(reference train.py:1014-1022)",
+    )
     parser.add_argument(
         "--detect_anomaly", "--da", action="store_true",
         help="audit gradient connectivity + localize NaN-producing ops "
@@ -749,7 +796,14 @@ def main_cli(argv=None):
             )
     except Exception as e:
         logger.warning(f"source snapshot failed: {e}")
-    training(conf, output_dir, args)
+    if jax.process_index() == 0:
+        # leader tees stdout/stderr -> log.txt (reference train.py:1408-1416)
+        from ..utils.stdout_capturing import capture_outputs
+
+        with capture_outputs(output_dir / "log.txt"):
+            training(conf, output_dir, args)
+    else:
+        training(conf, output_dir, args)
 
 
 if __name__ == "__main__":

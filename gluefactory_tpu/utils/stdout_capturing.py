@@ -45,17 +45,34 @@ def _clean_backspaces(text: str) -> str:
 
 @contextmanager
 def capture_outputs(path):
+    import logging
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     with open(path, "a") as fh:
         out, err = sys.stdout, sys.stderr
         sys.stdout = _Tee(out, fh)
         sys.stderr = _Tee(err, fh)
+        # logging handlers hold a direct reference to the original stderr
+        # stream (captured at handler creation), bypassing the tee — mirror
+        # the log records into the file explicitly. The package logger has
+        # propagate=False, so attach to it AND the root logger.
+        handler = logging.StreamHandler(fh)
+        targets = [logging.getLogger(), logging.getLogger("gluefactory_tpu")]
+        for lg in targets:
+            for h in lg.handlers:
+                if getattr(h, "formatter", None) is not None:
+                    handler.setFormatter(h.formatter)
+                    break
+        for lg in targets:
+            lg.addHandler(handler)
         try:
             yield
         finally:
             sys.stdout = out
             sys.stderr = err
+            for lg in targets:
+                lg.removeHandler(handler)
     try:
         text = path.read_text()
         path.write_text(_clean_backspaces(text))

@@ -81,6 +81,14 @@ def test_hpatches_eval_pipeline(fake_hpatches, tmp_path, monkeypatch):
     s2, _, _ = pipeline.run(out_dir)
     assert s2["mprec@3px"] == s["mprec@3px"]
 
+    # fork parity: per-stage timing keys exported into the summaries
+    # (reference `two_view_pipeline.py:360-404`, `eval/hpatches.py:30-43`)
+    assert (out_dir / "timings.json").exists()
+    for key in ("mextractor_time_ms", "mmatcher_time_ms", "mtotal_time_ms",
+                "mpair_resolution"):
+        assert key in s, sorted(s)
+        assert np.isfinite(s[key]) and s[key] >= 0
+
 
 def test_hpatches_eval_with_loftr(fake_hpatches, tmp_path, monkeypatch):
     """The dense LoFTR matcher flows through the same eval harness as the

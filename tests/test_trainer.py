@@ -52,6 +52,8 @@ def tiny_conf(tmp_path, monkeypatch):
                 "log_every_iter": 1,
                 "eval_every_iter": 2,
                 "lr": 1e-4,
+                # tests run batch 2 on the 8-device virtual mesh
+                "allow_idle_devices": True,
             },
         }
     )
@@ -163,6 +165,73 @@ def test_do_evaluation_validation_figures(tmp_path):
     )
     assert set(figures) == {"val/match_pair_0", "val/match_pair_1"}
     assert figures["val/match_pair_0"][1] == 3
+
+
+def test_batch_device_mismatch_raises(tiny_conf, tmp_path):
+    """batch % devices != 0 is a hard error unless opted in (on a pod a
+    silent gcd fallback idles chips; reference DDP errors loudly)."""
+    from gluefactory_tpu.train.trainer import training
+
+    tiny_conf.merge_({"train": {"allow_idle_devices": False}})
+    with pytest.raises(ValueError, match="allow_idle_devices"):
+        training(tiny_conf, tmp_path / "exp_mismatch")
+
+
+def test_loss_dict_precedence_matches_between_train_and_eval():
+    """Train and eval steps must agree on {**data, **pred} precedence:
+    in-forward GT (pred) wins over stale cached gt_* keys from a dataset."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.train.trainer import TrainState, make_step_fns
+
+    B = 2
+
+    class StubModel:
+        def make_loss_fn(self):
+            def loss(pred, merged):
+                # the merged dict decides which gt wins
+                return {"total": merged["gt_val"]}, {}
+
+            return loss
+
+        def apply(self, params, data, train=True, rngs=None):
+            w = params["params"]["w"]
+            # in-forward GT: constant 2, with a param dependency for grad
+            return {"gt_val": jnp.full((B,), 2.0) + 0.0 * w}
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    tx = optax.sgd(0.1)
+    params = {"params": {"w": jnp.zeros(())}}
+    train_step, eval_step, _ = make_step_fns(StubModel(), tx, mesh)
+    data = {"gt_val": np.zeros(B, np.float32)}  # stale cached GT: 0
+    ev_losses, _ = eval_step(params, data)
+    # train_step donates its state; run it after eval reads params
+    state = TrainState(params, tx.init(params), jnp.asarray(0), jax.random.PRNGKey(0))
+    _, tr_losses, _, _ = train_step(state, data)
+    # both paths must see the in-forward value (2.0), not the cached 0.0
+    assert float(np.mean(np.asarray(tr_losses["total"]))) == pytest.approx(2.0)
+    assert float(np.mean(np.asarray(ev_losses["total"]))) == pytest.approx(2.0)
+
+
+def test_cli_profile_and_log_capture(tiny_conf, tmp_path, monkeypatch):
+    """--profile writes a device trace; the CLI tees stdout to log.txt
+    (reference train.py:1014-1022,1408-1416)."""
+    import gluefactory_tpu.train.trainer as tr
+
+    conf_path = tmp_path / "tiny.yaml"
+    tiny_conf.merge_({"train": {"profile_iters": 1}})
+    tiny_conf.save(conf_path)
+    monkeypatch.setattr(tr, "TRAINING_PATH", tmp_path)
+    tr.main_cli(["exp_prof", "--conf", str(conf_path), "--profile"])
+    out = tmp_path / "exp_prof"
+    log = out / "log.txt"
+    assert log.exists() and log.stat().st_size > 0
+    prof_dir = out / "profile"
+    assert prof_dir.exists()
+    assert any(prof_dir.rglob("*.pb")) or any(prof_dir.rglob("*.trace.json.gz"))
 
 
 def test_do_evaluation_overlap_bins_and_tsv(tmp_path):
