@@ -767,8 +767,23 @@ def main_cli(argv=None):
     parser.add_argument("dotlist", nargs="*")
     args = parser.parse_args(argv)
 
+    import os
+
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        # the axon TPU plugin ignores the env var; mirror it into the
+        # authoritative config knob so CI/pod smoke runs can force CPU
+        jax.config.update("jax_platforms", "cpu")
+
     if args.distributed:
-        jax.distributed.initialize()
+        try:
+            jax.distributed.initialize()
+        except Exception as e:
+            # single-process smoke of the pod launcher (no coordinator):
+            # proceed with process_count() == 1 rather than dying
+            logger.warning(
+                f"jax.distributed.initialize failed ({e}); "
+                "continuing single-process"
+            )
 
     conf = Config()
     if args.conf:

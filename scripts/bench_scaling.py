@@ -1,0 +1,226 @@
+"""Multi-chip scaling evidence on the virtual CPU mesh
+(VERDICT r2 item 5; SURVEY.md §2.10/§5.8 — the reference has single-node DDP
+only, `train.py:620-638`; this framework scales via mesh+GSPMD).
+
+Real multi-chip hardware does not exist on this machine, so the evidence is:
+  1. the REAL train step compiled + executed on 1/2/4/8 mesh devices
+     (strong scaling at fixed global batch — on a shared-core CPU host the
+     total compute is constant, so step-time deviations expose partitioning
+     overhead, not compute),
+  2. per-step COLLECTIVE BYTES parsed from the compiled HLO (all-reduce /
+     all-gather / reduce-scatter / collective-permute with operand shapes):
+     the quantity that actually rides ICI on a pod,
+  3. an ICI cost projection: collective bytes / per-chip ICI bandwidth,
+     compared against the measured real-chip step time (BENCH numbers),
+  4. a token-axis TP sweep of LightGlue at 2048/4096 keypoints: where
+     sharding the keypoint axis pays vs pure DP (collective bytes + step
+     time vs dense).
+
+Writes SCALING_r03.json at the repo root (driver-visible) and prints it.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python scripts/bench_scaling.py
+"""
+
+import json
+import re
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os  # noqa: E402
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    str(Path(__file__).resolve().parent.parent / ".jax_cache"),
+)
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+# v5e: 4 ICI links/chip x ~45 GB/s usable each way (public spec ~1600 Gbps
+# aggregate); DP all-reduce rides a ring -> effective ~2x bytes moved
+ICI_BYTES_PER_S = 45e9
+
+_COLL_RE = re.compile(
+    r"(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
+    r"[^=]*=\s*\(?([a-z0-9]+)\[([0-9,]*)\]"
+)
+
+_DTYPE_BYTES = {
+    "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "pred": 1,
+    "s8": 1, "u8": 1, "f64": 8, "s64": 8, "u64": 8,
+}
+
+
+def collective_bytes(hlo_text: str) -> dict:
+    """Sum operand bytes of every collective op in optimized HLO."""
+    out = {}
+    for op, dtype, dims in _COLL_RE.findall(hlo_text):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        out[op] = out.get(op, 0) + n * _DTYPE_BYTES.get(dtype, 4)
+    out["total"] = sum(v for k, v in out.items() if k != "total")
+    return out
+
+
+def time_steps(fn, args, reps=3):
+    jax.block_until_ready(fn(*args))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def dp_scaling(global_batch=8, size=128):
+    """Real train step over 1/2/4/8-device DP meshes."""
+    from __graft_entry__ import _example_data, _flagship_conf
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.parallel.mesh import make_mesh, shard_batch
+    from gluefactory_tpu.train.trainer import TrainState, make_step_fns
+
+    model = get_model("two_view_pipeline").from_conf(_flagship_conf(tiny=True))
+    data = _example_data(batch=global_batch, size=size)
+    # keep a host copy: the train step donates its state buffers
+    host_params = jax.device_get(
+        model.init(jax.random.PRNGKey(0), data, train=True)
+    )
+    tx = optax.adam(1e-4)
+    param_bytes = sum(
+        a.size * a.dtype.itemsize
+        for a in jax.tree_util.tree_leaves(host_params)
+    )
+
+    rows = []
+    t1 = None
+    for n in (1, 2, 4, 8):
+        if n > len(jax.devices()):
+            break
+        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        train_step, *_ = make_step_fns(model, tx, mesh)
+        params = jax.tree.map(jnp.asarray, host_params)
+        state = TrainState(params, tx.init(params), jnp.asarray(0))
+        sharded = shard_batch(data, mesh)
+
+        hlo = train_step.lower(state, sharded).compile().as_text()
+        coll = collective_bytes(hlo)
+
+        # train_step donates its state: chain the returned state
+        state, losses, *_ = train_step(state, sharded)  # compile+warm
+        jax.block_until_ready(losses["total"])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            state, losses, *_ = train_step(state, sharded)
+            jax.block_until_ready(losses["total"])
+            ts.append(time.perf_counter() - t0)
+        t = float(np.median(ts))
+        if t1 is None:
+            t1 = t
+        rows.append(
+            {
+                "devices": n,
+                "step_ms": round(t * 1000, 2),
+                "strong_scaling_eff": round(t1 / t, 3),
+                "collective_bytes_per_step": coll.get("total", 0),
+                "collectives": {k: v for k, v in coll.items() if k != "total"},
+                "ici_projection_ms": round(
+                    2 * coll.get("total", 0) / ICI_BYTES_PER_S * 1000, 3
+                ),
+            }
+        )
+        print(f"dp n={n}: {rows[-1]}", file=sys.stderr)
+    return rows, param_bytes
+
+
+def tp_sweep(kpts_list=(2048, 4096), n_layers=3, D=256):
+    """LightGlue token-axis TP vs dense at large keypoint counts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P, set_mesh
+
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.parallel.mesh import make_mesh
+
+    rows = []
+    rng = np.random.RandomState(0)
+    for N in kpts_list:
+        lg_conf = {
+            "name": "lightglue",
+            "n_layers": n_layers,
+            "descriptor_dim": D,
+            "num_heads": 4,
+        }
+        dense = get_model("lightglue").from_conf(lg_conf)
+        data = {
+            "keypoints0": jnp.asarray(rng.rand(2, N, 2) * 640, jnp.float32),
+            "keypoints1": jnp.asarray(rng.rand(2, N, 2) * 640, jnp.float32),
+            "descriptors0": jnp.asarray(rng.randn(2, N, D), jnp.float32),
+            "descriptors1": jnp.asarray(rng.randn(2, N, D), jnp.float32),
+        }
+        params = dense.init(jax.random.PRNGKey(0), data, train=False)
+        t_dense = time_steps(
+            jax.jit(lambda p, d: dense.apply(p, d, train=False)["matches0"]),
+            (params, data),
+        )
+        row = {"kpts": N, "dense_ms": round(t_dense * 1000, 2), "tp": []}
+        for tp in (2, 4):
+            if 2 * tp > len(jax.devices()):
+                break
+            mesh = make_mesh(data=2, model=tp, devices=jax.devices()[: 2 * tp])
+            lg_tp = get_model("lightglue").from_conf(
+                {**lg_conf, "tp_axis": "model"}
+            )
+            sh = NamedSharding(mesh, P("data", "model", None))
+            sharded = {k: jax.device_put(v, sh) for k, v in data.items()}
+            with set_mesh(mesh):
+                fn = jax.jit(lambda p, d: lg_tp.apply(p, d, train=False)["matches0"])
+                lowered = fn.lower(params, sharded)
+                coll = collective_bytes(lowered.compile().as_text())
+                t_tp = time_steps(fn, (params, sharded))
+            row["tp"].append(
+                {
+                    "tp_degree": tp,
+                    "step_ms": round(t_tp * 1000, 2),
+                    "collective_bytes_per_step": coll.get("total", 0),
+                    "ici_projection_ms": round(
+                        coll.get("total", 0) / (tp * ICI_BYTES_PER_S) * 1000, 3
+                    ),
+                }
+            )
+            print(f"tp N={N} tp={tp}: {row['tp'][-1]}", file=sys.stderr)
+        rows.append(row)
+    return rows
+
+
+def main():
+    dp_rows, param_bytes = dp_scaling()
+    tp_rows = tp_sweep()
+    out = {
+        "protocol": (
+            "strong scaling at fixed global batch on a shared-core virtual "
+            "CPU mesh: compute is constant, deviations = partitioning "
+            "overhead; collective bytes parsed from optimized HLO; ICI "
+            "projection at 45 GB/s/chip (v5e)"
+        ),
+        "param_bytes": param_bytes,
+        "dp": dp_rows,
+        "tp_lightglue": tp_rows,
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALING_r03.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
