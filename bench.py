@@ -1,6 +1,9 @@
-"""Benchmark: matched pairs/s of the flagship SuperPoint+LightGlue pipeline.
+"""Benchmark: matched pairs/s of the flagship SuperPoint+LightGlue pipeline,
+plus GlueStick and LoFTR throughput (VERDICT r2 item 6: driver-visible perf
+beyond the flagship).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"};
+"extra" carries the secondary model metrics (same scan-amortized protocol).
 
 Measurement design (robust to async/caching RPC runtimes like the axon
 tunnel): all ITERS distinct batches are processed inside ONE jitted
@@ -27,6 +30,104 @@ BATCH = 8
 ITERS = 24
 SIZE = (640, 480)  # (w, h)
 NUM_KPTS = 1024
+
+
+def _measure(run_jit, floor, args, n_pairs, reps=5, perturb=None):
+    """Median wall time of the jitted scan minus the RPC floor -> pairs/s."""
+    import jax
+
+    float(jax.device_get(run_jit(*args)))  # warmup/compile
+    times = []
+    for i in range(reps):
+        a = perturb(args, i) if perturb is not None else args
+        t0 = time.perf_counter()
+        float(jax.device_get(run_jit(*a)))
+        times.append(time.perf_counter() - t0)
+    dt = max(float(np.median(times)) - floor, 1e-6)
+    return n_pairs / dt
+
+
+def bench_gluestick(floor):
+    """GlueStick matcher (points + lines) at 1024 kpts / 256 lines, B=8."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models import get_model
+
+    B, N, L, D = BATCH, NUM_KPTS, 256, 256
+    iters = 12
+    model = get_model("gluestick").from_conf(
+        {"n_layers": 9, "descriptor_dim": D, "dtype": "bfloat16"}
+    )
+    rng = np.random.RandomState(0)
+    kp = jnp.asarray(rng.rand(iters, B, N, 2) * 480, jnp.float32)
+    ds = jnp.asarray(rng.randn(iters, B, N, D), jnp.float32)
+    # line endpoints reference junction keypoints (wireframe convention)
+    lj = jnp.asarray(rng.randint(0, N, (iters, B, L, 2)), jnp.int32)
+    e0 = jnp.take_along_axis(kp, lj[..., 0:1], axis=2)  # (it, B, L, 2)
+    e1 = jnp.take_along_axis(kp, lj[..., 1:2], axis=2)
+    ln = jnp.stack([e0, e1], axis=3)  # (it, B, L, 2, 2)
+
+    def run_all(v, kps, dss, ljs, lns):
+        def body(c, xs):
+            k_, d_, j_, l_ = xs
+            pred = model.apply(
+                v,
+                {
+                    "keypoints0": k_, "keypoints1": k_,
+                    "descriptors0": d_, "descriptors1": d_,
+                    "lines0": l_, "lines1": l_,
+                    "lines_junc_idx0": j_, "lines_junc_idx1": j_,
+                },
+                train=False,
+            )
+            return c + jnp.sum(pred["matches0"]) + jnp.sum(
+                pred["line_matches0"]
+            ), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), (kps, dss, ljs, lns))
+        return out
+
+    d0 = {
+        "keypoints0": kp[0], "keypoints1": kp[0],
+        "descriptors0": ds[0], "descriptors1": ds[0],
+        "lines0": ln[0], "lines1": ln[0],
+        "lines_junc_idx0": lj[0], "lines_junc_idx1": lj[0],
+    }
+    variables = model.init(jax.random.PRNGKey(0), d0, train=False)
+    run_jit = jax.jit(run_all)
+    return _measure(run_jit, floor, (variables, kp, ds, lj, ln), B * iters)
+
+
+def bench_loftr(floor):
+    """LoFTR dense matcher on full 640x480 image pairs, B=2."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models import get_model
+
+    B, iters = 2, 8
+    w, h = SIZE
+    model = get_model("loftr").from_conf({"max_num_matches": 1024})
+    rng = np.random.RandomState(0)
+    im0 = jnp.asarray(rng.rand(iters, B, h, w, 1), jnp.float32)
+    im1 = jnp.asarray(rng.rand(iters, B, h, w, 1), jnp.float32)
+
+    def run_all(v, i0, i1):
+        def body(c, xs):
+            a, b = xs
+            pred = model.apply(
+                v, {"view0": {"image": a}, "view1": {"image": b}}, train=False
+            )
+            return c + jnp.sum(pred["matching_scores0"]), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), (i0, i1))
+        return out
+
+    d0 = {"view0": {"image": im0[0]}, "view1": {"image": im1[0]}}
+    variables = model.init(jax.random.PRNGKey(0), d0, train=False)
+    run_jit = jax.jit(run_all)
+    return _measure(run_jit, floor, (variables, im0, im1), B * iters)
 
 
 def main():
@@ -104,16 +205,25 @@ def main():
         floors.append(time.perf_counter() - t0)
     floor = float(np.median(floors))
 
-    times = []
-    for i in range(5):
+    pairs_per_s = _measure(
+        run_jit,
+        floor,
+        (variables, imgs0, imgs1),
+        BATCH * ITERS,
         # perturb one pixel so runs are distinct end-to-end
-        i0 = imgs0.at[0, 0, 0, 0, 0].add(1e-4 * (i + 1))
-        t0 = time.perf_counter()
-        float(jax.device_get(run_jit(variables, i0, imgs1)))
-        times.append(time.perf_counter() - t0)
-    dt = max(float(np.median(times)) - floor, 1e-6)
+        perturb=lambda a, i: (
+            a[0], a[1].at[0, 0, 0, 0, 0].add(1e-4 * (i + 1)), a[2]
+        ),
+    )
 
-    pairs_per_s = BATCH * ITERS / dt
+    extra = {}
+    for name, fn in (("gluestick", bench_gluestick), ("loftr", bench_loftr)):
+        try:
+            extra[f"{name}_pairs_per_s"] = round(fn(floor), 2)
+        except Exception as e:  # secondary metrics never kill the primary
+            extra[f"{name}_pairs_per_s"] = None
+            extra[f"{name}_error"] = str(e)[:200]
+
     print(
         json.dumps(
             {
@@ -121,6 +231,7 @@ def main():
                 "value": round(pairs_per_s, 2),
                 "unit": "pairs/s",
                 "vs_baseline": round(pairs_per_s / BASELINE_PAIRS_PER_S, 3),
+                "extra": extra,
             }
         )
     )
