@@ -209,7 +209,10 @@ class LGLayer(nn.Module):
     nll_balancing: float = 0.5
 
     @nn.compact
-    def __call__(self, carry, xs, collect_scores: bool = True, gt=None):
+    def __call__(
+        self, carry, xs, collect_scores: bool = True, gt=None,
+        need_conf: bool = True,
+    ):
         is_last, conf_th = xs
         # x stacks both views along the batch axis: (2B, N, D)
         x, enc, mask0, mask1, train_flag = carry
@@ -221,21 +224,38 @@ class LGLayer(nn.Module):
         x = cross_block(x, mask0, mask1)
         x0, x1 = x[:B], x[B:]
         # per-layer heads; the heavy assignment only for training (deep
-        # supervision) or the last layer (inference)
-        compute = (
-            is_last
-            if isinstance(is_last, bool)
-            else (train_flag | is_last)
+        # supervision) or the last layer (inference). When neither the
+        # per-layer scores nor the matchability logits can be consumed
+        # (inference with width pruning off), the whole head is STATICALLY
+        # skipped: its mdesc projections feed the lax.cond and would
+        # otherwise run every layer (flax params still exist; unused at
+        # apply). The exit layer's assignment runs post-scan from sliced
+        # params (`_forward`).
+        need_assignment = (
+            collect_scores or self.width_confidence > 0 or gt is not None
         )
-        scores, z0, z1 = MatchAssignment(self.dim, self.dtype, name="log_assignment")(
-            x0, x1, mask0, mask1, compute_scores=compute
-        )
+        need_conf = need_conf or self.width_confidence > 0
+        if self.is_initializing():
+            need_assignment = need_conf = True
+        if need_assignment:
+            compute = (
+                is_last
+                if isinstance(is_last, bool)
+                else (train_flag | is_last)
+            )
+            scores, z0, z1 = MatchAssignment(
+                self.dim, self.dtype, name="log_assignment"
+            )(x0, x1, mask0, mask1, compute_scores=compute)
         # one confidence head shared by both sets (reference `lightglue.py:69`);
         # descriptors are detached so the BCE never trains the transformer
-        # (reference TokenConfidence detaches, `lightglue.py:76-83`)
-        conf_head = nn.Dense(1, name="token_confidence")
-        conf = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x)))[..., 0]
-        conf0, conf1 = conf[:B], conf[B:]
+        # (reference TokenConfidence detaches, `lightglue.py:76-83`).
+        # Skipped statically when nothing consumes it (inference with
+        # adaptive depth and width both off): scan outputs are materialized
+        # even when unused downstream.
+        if need_conf:
+            conf_head = nn.Dense(1, name="token_confidence")
+            conf = jax.nn.sigmoid(conf_head(jax.lax.stop_gradient(x)))[..., 0]
+            conf0, conf1 = conf[:B], conf[B:]
         if self.width_confidence > 0:
             # masked width pruning (reference `get_pruning_mask`,
             # `lightglue.py:560-566`): keep tokens that look matchable
@@ -271,12 +291,14 @@ class LGLayer(nn.Module):
             }
         elif collect_scores:
             out = {"scores": scores, "z0": z0, "z1": z1, "conf0": conf0, "conf1": conf1}
-        else:
+        elif need_conf:
             # inference: the stacked (L, B, N, M) score tensor (and the per-
             # layer similarity einsum feeding it) would be dead weight — omit
             # it from the scan outputs so XLA dead-code-eliminates the heavy
             # head; the exit layer's assignment is applied post-scan.
             out = {"conf0": conf0, "conf1": conf1}
+        else:
+            out = {}
         return (x, enc, mask0, mask1, train_flag), out
 
 
@@ -335,15 +357,15 @@ class LightGlue(BaseModel):
             (2 + 2 * int(bool(c.add_scale_ori)), head_dim // 2),
         )
         layer_cls = (
-            nn.remat(LGLayer, static_argnums=(3,)) if c.get("remat") else LGLayer
+            nn.remat(LGLayer, static_argnums=(3, 5)) if c.get("remat") else LGLayer
         )
         self.layers = nn.scan(
             layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
-            # xs scanned; collect_scores (static) and gt (traced) broadcast
-            in_axes=(0, nn.broadcast, nn.broadcast),
+            # xs scanned; collect_scores/need_conf (static) + gt broadcast
+            in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
         )(
             D,
             c.num_heads,
@@ -453,7 +475,12 @@ class LightGlue(BaseModel):
                 gt0 = jnp.pad(gt0, ((0, 0), (0, K - N)), constant_values=-2)
                 gt1 = jnp.pad(gt1, ((0, 0), (0, K - M)), constant_values=-2)
             gt = (gt0, gt1)
-        carry, per_layer = self.layers(carry, (is_last, conf_ths), collect, gt)
+        # the confidence head is only consumed by training BCE targets or the
+        # adaptive width/depth paths; statically skip it otherwise
+        need_conf = collect or float(c.width_confidence) > 0
+        carry, per_layer = self.layers(
+            carry, (is_last, conf_ths), collect, gt, need_conf
+        )
         x0, x1 = carry[0][:B, :N], carry[0][B:, :M]
         mask0_f, mask1_f = carry[2][:, :N], carry[3][:, :M]  # after pruning
 

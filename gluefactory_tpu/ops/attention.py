@@ -124,11 +124,22 @@ def rotary_emb_2d(kpts: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
 
 
 def apply_cached_rotary_emb(freqs: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """Apply rotary embedding. freqs: (B, N, 2, D/2); x: (B, H, N, D)."""
+    """Apply rotary embedding. freqs: (B, N, 2, D/2); x: (B, H, N, D).
+
+    HALF-SPLIT pair layout: rotation pair i lives at head dims (i, D/2+i),
+    not the reference's interleaved (2i, 2i+1) (`lightglue.py:43-47`).
+    Contiguous-half slices + one concat are layout-friendly on the TPU's
+    (8, 128) lane tiling, where the interleaved convention lowers to a
+    stride-2 lane shuffle that cost ~0.17 ms/layer (≈ 65% of the fused
+    attention kernel itself, scripts/bench_lg_layer.py r3). Exactness: the
+    same head-dim permutation is applied to BOTH q and k at weight
+    conversion (`torch_weights._permute_rotary_qk`), so the attention
+    logits are bit-identical to the reference convention.
+    """
     cos = freqs[:, None, :, 0, :]  # (B, 1, N, D/2)
     sin = freqs[:, None, :, 1, :]
-    x1, x2 = x[..., 0::2], x[..., 1::2]
-    # rotate_half convention of the reference (`lightglue.py:43-47`)
+    F = x.shape[-1] // 2
+    x1, x2 = x[..., :F], x[..., F:]
     rx1 = x1 * cos - x2 * sin
     rx2 = x2 * cos + x1 * sin
-    return jnp.stack([rx1, rx2], axis=-1).reshape(x.shape)
+    return jnp.concatenate([rx1, rx2], axis=-1)

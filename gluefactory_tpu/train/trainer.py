@@ -56,6 +56,13 @@ default_train_conf = {
     # fork diagnostics (reference `train.py:125-170,280-299`)
     "eval_overlap_bins": None,  # [[lo, hi], ...] -> per-bin metric buckets
     "log_metrics_path": None,  # TSV filename under the experiment dir
+    # one-time GT-label figure dumps from the first val batches (reference
+    # `train.py:86-94,771-848` log_gt_pos_* flags); PNGs under the
+    # experiment dir + TB figures
+    "log_gt_pos_val_once": False,
+    "log_gt_pos_neg_ign_val_once": False,
+    "log_gt_pos_sparse_map_val_once": False,
+    "log_gt_figures_n_pairs": 2,
     "best_key": "loss/total",
     "dataset_callback_fn": None,
     "dataset_callback_on_val": False,
@@ -381,6 +388,45 @@ def do_evaluation(
     return out
 
 
+def dump_gt_figures(pred_step, params, loader, mesh, conf, output_dir, writer):
+    """One-time GT diagnostic dumps (reference `train.py:771-848`):
+    run the model on the first val batch(es), render the requested figure
+    suites, write PNGs under `<exp>/<suite>/` and TB figures."""
+    from ..visualization.gt_visualize_matches import (
+        make_gt_pos_figures,
+        make_gt_pos_neg_ign_figures,
+        make_gt_sparse_map_figures,
+    )
+
+    suites = []
+    if conf.get("log_gt_pos_val_once"):
+        suites.append(("gt_pos_val", make_gt_pos_figures))
+    if conf.get("log_gt_pos_neg_ign_val_once"):
+        suites.append(("gt_pos_neg_ign_val", make_gt_pos_neg_ign_figures))
+    if conf.get("log_gt_pos_sparse_map_val_once"):
+        suites.append(("gt_pos_sparse_map_val", make_gt_sparse_map_figures))
+    if not suites:
+        return
+    n = int(conf.get("log_gt_figures_n_pairs", 2))
+    try:
+        data = next(iter(loader))
+        sharded = prepare_batch(data, mesh)
+        pred = jax.device_get(pred_step(params, sharded))
+        if "gt_matches0" not in pred:
+            logger.warning("GT figure dump skipped: no gt_matches0 in pred")
+            return
+        for name, make in suites:
+            out = Path(output_dir) / name
+            out.mkdir(parents=True, exist_ok=True)
+            for fig_name, fig in make(pred, data, n=n).items():
+                fig.savefig(out / f"{fig_name}.png", dpi=110)
+                if writer is not None:
+                    writer.add_figure(f"{name}/{fig_name}", fig, global_step=0)
+            logger.info(f"wrote {name} GT figures to {out}")
+    except Exception as e:  # diagnostics must never kill training
+        logger.warning(f"GT figure dump failed: {e}")
+
+
 def prepare_batch(data, mesh):
     """Host numpy batch -> device, batch axis sharded over `mesh`."""
     def keep(x):
@@ -527,6 +573,13 @@ def training(conf: Config, output_dir: Path, args=None):
             prof["stack"].close()
             prof["done"] = True
             logger.info(f"profile trace written to {output_dir / 'profile'}")
+
+    if jax.process_index() == 0:
+        # one-time GT diagnostic dumps (reference log_gt_pos_* flags)
+        dump_gt_figures(
+            pred_step, state.params, val_loader, mesh, train_conf,
+            output_dir, writer,
+        )
 
     stop_flag = {"stop": False}
 

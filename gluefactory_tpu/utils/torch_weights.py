@@ -224,11 +224,42 @@ def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
     return {"params": params}
 
 
+def _permute_rotary_qk(wqkv: dict, n_heads: int = 4) -> dict:
+    """Interleaved -> half-split rotary pair layout for the q/k columns.
+
+    Our `apply_cached_rotary_emb` stores rotation pair i at head dims
+    (i, Dh/2+i) instead of the reference's interleaved (2i, 2i+1) —
+    layout-friendly on TPU lanes (see `ops/attention.py`). Permuting the
+    SAME columns of both q and k leaves every attention logit unchanged:
+    (P R q)·(P R k) = (R q)·(R k) for any fixed permutation P.
+
+    wqkv: flax Dense params {kernel: (D, 3D), bias: (3D,)} with output
+    index o = (h*Dh + d)*3 + j, j in {q=0, k=1, v=2} (official layout).
+    """
+    kernel, bias = np.asarray(wqkv["kernel"]), np.asarray(wqkv["bias"])
+    D3 = kernel.shape[1]
+    D = D3 // 3
+    Dh = D // n_heads
+    half = Dh // 2
+    perm = np.arange(D3)
+    for h in range(n_heads):
+        for j in (0, 1):  # q and k only; v untouched
+            base = h * Dh * 3 + j
+            old = base + 3 * np.concatenate(
+                [2 * np.arange(half), 2 * np.arange(half) + 1]
+            )
+            perm[base + 3 * np.arange(Dh)] = old
+    return {
+        "kernel": np.ascontiguousarray(kernel[:, perm]),
+        "bias": np.ascontiguousarray(bias[perm]),
+    }
+
+
 def _lg_layer(sd, i, n_layers):
     p = f"transformers.{i}"
     layer = {
         "self_attn": {
-            "Wqkv": t_linear(sd, f"{p}.self_attn.Wqkv"),
+            "Wqkv": _permute_rotary_qk(t_linear(sd, f"{p}.self_attn.Wqkv")),
             "out_proj": t_linear(sd, f"{p}.self_attn.out_proj"),
             "ffn0": t_linear(sd, f"{p}.self_attn.ffn.0"),
             "ffn_norm": t_layernorm(sd, f"{p}.self_attn.ffn.1"),

@@ -68,6 +68,70 @@ def roma_certainty_figure(pred: dict, data: dict, idx: int = 0):
     return fig
 
 
+def gt_pos_neg_ign_figure(pred: dict, data: dict, idx: int = 0):
+    """Per-label panel suite: positives / negatives / ignores as separate
+    panels per view with counts (reference `make_gt_pos_neg_ign_figs`,
+    `gt_visualize_matches.py` fork diagnostics)."""
+    import matplotlib.pyplot as plt
+
+    img0 = np.asarray(data["view0"]["image"][idx]).squeeze()
+    img1 = np.asarray(data["view1"]["image"][idx]).squeeze()
+    kps = [np.asarray(pred["keypoints0"][idx]), np.asarray(pred["keypoints1"][idx])]
+    gts = [np.asarray(pred["gt_matches0"][idx]), np.asarray(pred["gt_matches1"][idx])]
+    valids = [
+        np.asarray(pred.get(f"keypoint_valid{v}", np.ones(len(kps[v]), bool)))
+        for v in (0, 1)
+    ]
+    valids = [v[idx] if v.ndim > 1 else v for v in valids]
+
+    labels = [("pos", lambda g: g >= 0, "lime"),
+              ("neg", lambda g: g == -1, "red"),
+              ("ignore", lambda g: g == -2, "orange")]
+    fig, axs = plt.subplots(2, 3, figsize=(12, 6))
+    for v, (img, kp, gt, val) in enumerate(zip([img0, img1], kps, gts, valids)):
+        for j, (name, sel_fn, color) in enumerate(labels):
+            ax = axs[v, j]
+            ax.imshow(img, cmap="gray")
+            sel = sel_fn(gt) & val
+            ax.scatter(kp[sel, 0], kp[sel, 1], c=color, s=5, linewidths=0)
+            ax.set_title(f"view{v} {name}: {int(sel.sum())}", fontsize=9)
+            ax.set_axis_off()
+    fig.tight_layout()
+    return fig
+
+
+def gt_sparse_map_figure(pred: dict, data: dict, idx: int = 0):
+    """Sparse-SfM-map GT: positives colored by 3D track identity
+    (reference `make_gt_pos_sparse_map_figs`). Uses per-view cached
+    `point3D_ids` when the dataset supplies them; otherwise colors by
+    match index so correspondence identity is still visually traceable."""
+    import matplotlib.pyplot as plt
+
+    img0 = np.asarray(data["view0"]["image"][idx]).squeeze()
+    img1 = np.asarray(data["view1"]["image"][idx]).squeeze()
+    kp0 = np.asarray(pred["keypoints0"][idx])
+    kp1 = np.asarray(pred["keypoints1"][idx])
+    gt0 = np.asarray(pred["gt_matches0"][idx])
+    sel = np.where(gt0 >= 0)[0]
+    ids = None
+    cache0 = data.get("view0", {}).get("cache", {})
+    if "point3D_ids" in cache0:
+        ids = np.asarray(cache0["point3D_ids"][idx])[sel]
+    hue = (ids if ids is not None else sel).astype(np.float64)
+    hue = (hue % 997) / 997.0  # spread track ids over the colormap
+    cmap = plt.get_cmap("hsv")
+    fig, axs = plot_images(
+        [img0, img1],
+        titles=[f"sparse-map GT tracks ({len(sel)})", ""],
+    )
+    if len(sel):
+        axs[0].scatter(kp0[sel, 0], kp0[sel, 1], c=cmap(hue), s=8, linewidths=0)
+        axs[1].scatter(
+            kp1[gt0[sel], 0], kp1[gt0[sel], 1], c=cmap(hue), s=8, linewidths=0
+        )
+    return fig
+
+
 def make_gt_figures(pred: dict, data: dict, n: int = 1) -> dict:
     figs = {}
     for i in range(min(n, len(np.asarray(pred["keypoints0"])))):
@@ -76,3 +140,27 @@ def make_gt_figures(pred: dict, data: dict, n: int = 1) -> dict:
         if "roma_certainty_0to1" in data:
             figs[f"roma_certainty_{i}"] = roma_certainty_figure(pred, data, i)
     return figs
+
+
+def make_gt_pos_figures(pred: dict, data: dict, n: int = 1) -> dict:
+    """Positive-correspondence suite (reference `log_gt_pos_*` dumps)."""
+    B = len(np.asarray(pred["keypoints0"]))
+    return {
+        f"gt_pos_{i}": gt_matches_figure(pred, data, i) for i in range(min(n, B))
+    }
+
+
+def make_gt_pos_neg_ign_figures(pred: dict, data: dict, n: int = 1) -> dict:
+    B = len(np.asarray(pred["keypoints0"]))
+    return {
+        f"gt_pos_neg_ign_{i}": gt_pos_neg_ign_figure(pred, data, i)
+        for i in range(min(n, B))
+    }
+
+
+def make_gt_sparse_map_figures(pred: dict, data: dict, n: int = 1) -> dict:
+    B = len(np.asarray(pred["keypoints0"]))
+    return {
+        f"gt_sparse_map_{i}": gt_sparse_map_figure(pred, data, i)
+        for i in range(min(n, B))
+    }

@@ -234,6 +234,28 @@ def test_cli_profile_and_log_capture(tiny_conf, tmp_path, monkeypatch):
     assert any(prof_dir.rglob("*.pb")) or any(prof_dir.rglob("*.trace.json.gz"))
 
 
+def test_gt_figure_dump_flags(tiny_conf, tmp_path):
+    """log_gt_pos_* one-time dumps produce figure files
+    (reference train.py:86-94,771-848)."""
+    from gluefactory_tpu.train.trainer import training
+
+    tiny_conf.merge_(
+        {
+            "train": {
+                "log_gt_pos_val_once": True,
+                "log_gt_pos_neg_ign_val_once": True,
+                "log_gt_pos_sparse_map_val_once": True,
+                "log_gt_figures_n_pairs": 1,
+            }
+        }
+    )
+    out = tmp_path / "exp_gt_figs"
+    training(tiny_conf, out)
+    assert any((out / "gt_pos_val").glob("*.png"))
+    assert any((out / "gt_pos_neg_ign_val").glob("*.png"))
+    assert any((out / "gt_pos_sparse_map_val").glob("*.png"))
+
+
 def test_do_evaluation_overlap_bins_and_tsv(tmp_path):
     import jax
     import jax.numpy as jnp
