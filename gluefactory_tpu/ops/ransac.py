@@ -147,6 +147,111 @@ def ransac_homography(
     return RansacResult(H_final, inliers & success, score, success)
 
 
+def ransac_homography_adaptive(
+    key,
+    pts0: jnp.ndarray,
+    pts1: jnp.ndarray,
+    valid: jnp.ndarray,
+    th: float = 3.0,
+    max_hyps: int = 2048,
+    chunk: int = 128,
+    confidence: float = 0.99,
+    lo_iters: int = 3,
+    min_matches: int = 4,
+    scoring: str = "msac",
+    n_sigmas: int = 8,
+):
+    """Adaptive-iteration homography LO-RANSAC (PoseLib-parity early
+    termination; reference `robust_estimators/homography/poselib.py:8-40`
+    with `max_iterations`/`success_prob`).
+
+    The classic sequential stopping rule k >= log(1-conf) / log(1-eps^4)
+    (eps = best inlier ratio so far) mapped onto TPU control flow: an
+    early-exit `lax.while_loop` over hypothesis CHUNKS — each iteration
+    solves+scores `chunk` minimal samples as one batched op (MXU-sized), so
+    the loop exits after ceil(k/chunk) iterations instead of always paying
+    `max_hyps`. High-inlier pairs (the common eval case) stop after 1-2
+    chunks; degenerate pairs fall back to the fixed budget. Returns
+    (RansacResult, hyps_evaluated).
+    """
+    score_fn = _make_score_fn(scoring, n_sigmas)
+    validf = valid.astype(jnp.float32)
+    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
+    th2 = th * th
+    n_chunks = max(max_hyps // chunk, 1)
+    log_fail = jnp.log(jnp.asarray(1.0 - confidence, jnp.float32))
+
+    def sample_and_score(k):
+        idx = _sample_minimal_sets(k, validf, chunk, 4)
+        H = compute_homography_dlt(pts0[idx], pts1[idx])
+        err2 = sym_homography_error(pts0[None], pts1[None], H) ** 2
+        s, w = score_fn(err2, th2, validf)
+        b = jnp.argmax(s)
+        inl = jnp.sum((err2[b] < th2) * validf)
+        return s[b], H[b], w[b], inl
+
+    def cond_fn(state):
+        i, _, _, _, needed, _ = state
+        return (i < n_chunks) & (i * chunk < needed)
+
+    def body_fn(state):
+        i, best, key, _, needed, best_inl = state
+        best_s, best_H, best_w = best
+        key, k = jax.random.split(key)
+        s, H, w, inl = sample_and_score(k)
+        better = s > best_s
+        best = (
+            jnp.maximum(s, best_s),
+            jnp.where(better, H, best_H),
+            jnp.where(better, w, best_w),
+        )
+        best_inl = jnp.maximum(best_inl, inl)
+        eps = jnp.clip(best_inl / n_valid, 1e-6, 1.0 - 1e-6)
+        # samples needed for `confidence` odds of one all-inlier 4-set
+        k_req = log_fail / jnp.log1p(-(eps**4) + 1e-12)
+        needed = jnp.minimum(needed, jnp.ceil(k_req))
+        return (i + 1, best, key, jnp.float32(0), needed, best_inl)
+
+    init = (
+        jnp.int32(0),
+        (
+            jnp.float32(-jnp.inf),
+            jnp.eye(3, dtype=pts0.dtype),
+            jnp.zeros(pts0.shape[0], jnp.float32),
+        ),
+        key,
+        jnp.float32(0),
+        jnp.float32(max_hyps),
+        jnp.float32(0),
+    )
+    i, (score_b, H_best, w_best), *_ = jax.lax.while_loop(
+        cond_fn, body_fn, init
+    )
+
+    # identical LO polish to the fixed-batch path
+    def lo_step(carry, _):
+        H_cur, w_cur, s_cur = carry
+        H_new = compute_homography_dlt(pts0, pts1, w_cur)
+        e2 = sym_homography_error(pts0, pts1, H_new) ** 2
+        s_new, w_new = score_fn(e2[None], th2, validf)
+        s_new, w_new = s_new[0], w_new[0]
+        better = s_new > s_cur
+        return (
+            jnp.where(better, H_new, H_cur),
+            jnp.where(better, w_new, w_cur),
+            jnp.maximum(s_new, s_cur),
+        ), None
+
+    (H_final, _, score), _ = jax.lax.scan(
+        lo_step, (H_best, w_best, score_b), None, length=lo_iters
+    )
+    err_final = sym_homography_error(pts0, pts1, H_final)
+    inliers = (err_final < th) & valid
+    success = jnp.sum(valid) >= min_matches
+    H_final = jnp.where(success, H_final, jnp.eye(3, dtype=H_final.dtype))
+    return RansacResult(H_final, inliers & success, score, success), i * chunk
+
+
 # ---------------------------------------------------------------------------
 # Essential matrix / relative pose
 # ---------------------------------------------------------------------------

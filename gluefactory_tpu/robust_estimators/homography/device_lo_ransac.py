@@ -10,7 +10,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ...ops.ransac import ransac_homography
+from ...ops.ransac import ransac_homography, ransac_homography_adaptive
 from ..base_estimator import BaseEstimator
 
 __main_class__ = "DeviceHomographyEstimator"
@@ -28,21 +28,42 @@ class DeviceHomographyEstimator(BaseEstimator):
         # (threshold-robust, see ops/ransac._magsac_score)
         "scoring": "msac",
         "n_sigmas": 8,
+        # PoseLib-parity adaptive termination (early-exit while_loop over
+        # hypothesis chunks, ops/ransac.ransac_homography_adaptive); the
+        # fixed batch stays the default (vmaps better over pair sweeps)
+        "adaptive": False,
+        "chunk": 128,
+        "confidence": 0.99,
     }
     required_data_keys = ("m_kpts0", "m_kpts1")
 
     def _init(self, conf):
-        self._fn = jax.jit(
-            lambda key, p0, p1, v, th: ransac_homography(
-                key, p0, p1, v,
-                th=th,
-                num_hyps=conf.num_hypotheses,
-                lo_iters=conf.lo_iters,
-                scoring=conf.scoring,
-                n_sigmas=conf.n_sigmas,
-            ),
-            static_argnames=(),
-        )
+        if conf.get("adaptive", False):
+            self._fn = jax.jit(
+                lambda key, p0, p1, v, th: ransac_homography_adaptive(
+                    key, p0, p1, v,
+                    th=th,
+                    max_hyps=conf.num_hypotheses,
+                    chunk=conf.chunk,
+                    confidence=conf.confidence,
+                    lo_iters=conf.lo_iters,
+                    scoring=conf.scoring,
+                    n_sigmas=conf.n_sigmas,
+                )[0],
+                static_argnames=(),
+            )
+        else:
+            self._fn = jax.jit(
+                lambda key, p0, p1, v, th: ransac_homography(
+                    key, p0, p1, v,
+                    th=th,
+                    num_hyps=conf.num_hypotheses,
+                    lo_iters=conf.lo_iters,
+                    scoring=conf.scoring,
+                    n_sigmas=conf.n_sigmas,
+                ),
+                static_argnames=(),
+            )
 
     def _forward(self, data):
         p0 = jnp.asarray(data["m_kpts0"], jnp.float32)
