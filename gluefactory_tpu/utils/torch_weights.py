@@ -458,3 +458,96 @@ def convert_aliked(sd: dict, model_name: str = "aliked-n16") -> dict:
         "desc_head": sddh(),
     }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# DINOv2
+# ---------------------------------------------------------------------------
+
+
+def convert_dinov2(sd: dict, depth: int | None = None) -> dict:
+    """Official DINOv2 checkpoint -> flax params for `backbones/dinov2.py`.
+
+    Accepts BOTH key namings for the same architecture:
+      - torch-hub `facebookresearch/dinov2` (`blocks.N.attn.qkv.weight`,
+        `ls1.gamma`, `patch_embed.proj`, `pos_embed`, `norm`);
+      - `transformers.Dinov2Model` (`encoder.layer.N.attention.attention.
+        {query,key,value}`, `layer_scale1.lambda1`, `embeddings.*`,
+        `layernorm`) — the oracle used by `tests/test_dinov2.py`.
+
+    The flax module uses a fused QKV Dense with columns ordered [q|k|v]
+    (one MXU matmul); separate torch q/k/v weights are concatenated.
+    """
+    hub = "cls_token" in sd
+
+    def pick(*names):
+        for n in names:
+            if n in sd:
+                return sd[n]
+        raise KeyError(names[0])
+
+    if depth is None:
+        pat = "blocks." if hub else "encoder.layer."
+        depth = 1 + max(
+            int(k[len(pat):].split(".")[0]) for k in sd if k.startswith(pat)
+        )
+
+    def block(i):
+        if hub:
+            p = f"blocks.{i}"
+            qkv = t_linear(sd, f"{p}.attn.qkv")
+            out = {
+                "norm1": t_layernorm(sd, f"{p}.norm1"),
+                "qkv": qkv,
+                "proj": t_linear(sd, f"{p}.attn.proj"),
+                "ls1_gamma": sd[f"{p}.ls1.gamma"],
+                "norm2": t_layernorm(sd, f"{p}.norm2"),
+                "ls2_gamma": sd[f"{p}.ls2.gamma"],
+            }
+            if f"{p}.mlp.w12.weight" in sd:  # SwiGLU (giant)
+                out["w12"] = t_linear(sd, f"{p}.mlp.w12")
+                out["w3"] = t_linear(sd, f"{p}.mlp.w3")
+            else:
+                out["fc1"] = t_linear(sd, f"{p}.mlp.fc1")
+                out["fc2"] = t_linear(sd, f"{p}.mlp.fc2")
+            return out
+        p = f"encoder.layer.{i}"
+        a = f"{p}.attention.attention"
+        qkv = {
+            "kernel": np.ascontiguousarray(
+                np.concatenate(
+                    [sd[f"{a}.{n}.weight"].T for n in ("query", "key", "value")],
+                    axis=1,
+                )
+            ),
+            "bias": np.concatenate(
+                [sd[f"{a}.{n}.bias"] for n in ("query", "key", "value")]
+            ),
+        }
+        out = {
+            "norm1": t_layernorm(sd, f"{p}.norm1"),
+            "qkv": qkv,
+            "proj": t_linear(sd, f"{p}.attention.output.dense"),
+            "ls1_gamma": sd[f"{p}.layer_scale1.lambda1"],
+            "norm2": t_layernorm(sd, f"{p}.norm2"),
+            "ls2_gamma": sd[f"{p}.layer_scale2.lambda1"],
+        }
+        if f"{p}.mlp.weights_in.weight" in sd:  # transformers SwiGLU naming
+            out["w12"] = t_linear(sd, f"{p}.mlp.weights_in")
+            out["w3"] = t_linear(sd, f"{p}.mlp.weights_out")
+        else:
+            out["fc1"] = t_linear(sd, f"{p}.mlp.fc1")
+            out["fc2"] = t_linear(sd, f"{p}.mlp.fc2")
+        return out
+
+    params = {
+        "cls_token": pick("cls_token", "embeddings.cls_token"),
+        "pos_embed": pick("pos_embed", "embeddings.position_embeddings"),
+        "patch_embed": t_conv(
+            sd,
+            "patch_embed.proj" if hub else "embeddings.patch_embeddings.projection",
+        ),
+        "norm": t_layernorm(sd, "norm" if hub else "layernorm"),
+        "blocks": _stack_trees([block(i) for i in range(depth)]),
+    }
+    return {"params": params}
