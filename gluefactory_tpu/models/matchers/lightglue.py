@@ -50,6 +50,43 @@ def normalize_keypoints(kpts: jnp.ndarray, size: jnp.ndarray) -> jnp.ndarray:
     return (kpts - shift[:, None, :]) / scale[:, None, :]
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense parameters with nn.Dense's naming/shapes/init, so blocks
+    that rewrite the Dense algebra (the out_proj fold) stay checkpoint- and
+    conversion-compatible with the plain path."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.din, self.dout)
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.dout,))
+        return k, b
+
+
+def _merged_message_ffn0(x, msg, op, f0, dt):
+    """Inference-only algebraic fold of out_proj into ffn0's message half:
+
+        ffn0([x, out_proj(msg)]) = x @ W0x + msg @ (Wo W0m) + (bo W0m + b0)
+
+    Exact in f32 (tested); removes the (N, D)x(D, D) out_proj matmul and the
+    HBM materialization of the concat per block. The tiny (D, D)x(D, 2D)
+    weight compose runs per scan step in f32 (~1% of the savings)."""
+    D = x.shape[-1]
+    op_k, op_b = op
+    f0_k, f0_b = f0
+    w0x, w0m = f0_k[:D], f0_k[D:]
+    wf = (op_k.astype(jnp.float32) @ w0m.astype(jnp.float32)).astype(dt)
+    bf = (
+        op_b.astype(jnp.float32) @ w0m.astype(jnp.float32)
+        + f0_b.astype(jnp.float32)
+    ).astype(dt)
+    return x @ w0x.astype(dt) + msg @ wf + bf
+
+
 class SelfBlock(nn.Module):
     """Self-attention with rotary positions (reference `lightglue.py:132-166`).
 
@@ -63,7 +100,7 @@ class SelfBlock(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, encoding, mask):
+    def __call__(self, x, encoding, mask, fold: bool = False):
         B, N, D = x.shape
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
@@ -80,9 +117,14 @@ class SelfBlock(nn.Module):
         k = apply_cached_rotary_emb(enc, k)
         msg = masked_attention(q, k, v, mask)  # (B, H, N, Dh)
         msg = jnp.moveaxis(msg, 1, 2).reshape(B, N, D).astype(dt)
-        msg = nn.Dense(D, dtype=dt, name="out_proj")(msg)
-        y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * D, dtype=dt, name="ffn0")(y)
+        op = _DenseParams(D, D, name="out_proj")()
+        f0 = _DenseParams(2 * D, 2 * D, name="ffn0")()
+        if fold:
+            y = _merged_message_ffn0(x, msg, op, f0, dt)
+        else:
+            msg = msg @ op[0].astype(dt) + op[1].astype(dt)
+            y = jnp.concatenate([x, msg], axis=-1)
+            y = y @ f0[0].astype(dt) + f0[1].astype(dt)
         # torch parity: LayerNorm eps=1e-5, exact-erf GELU
         y = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")(y)
         y = nn.gelu(y, approximate=False)
@@ -103,7 +145,7 @@ class CrossBlock(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, mask0, mask1):
+    def __call__(self, x, mask0, mask1, fold: bool = False):
         B2, N, D = x.shape
         B = B2 // 2
         H = self.num_heads
@@ -118,9 +160,14 @@ class CrossBlock(nn.Module):
         )
         msg = jnp.concatenate([m0, m1], axis=0)  # (2B, H, N, Dh)
         msg = msg.transpose(0, 2, 1, 3).reshape(B2, N, D).astype(dt)
-        msg = nn.Dense(D, dtype=dt, name="out_proj")(msg)
-        y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(2 * D, dtype=dt, name="ffn0")(y)
+        op = _DenseParams(D, D, name="out_proj")()
+        f0 = _DenseParams(2 * D, 2 * D, name="ffn0")()
+        if fold:
+            y = _merged_message_ffn0(x, msg, op, f0, dt)
+        else:
+            msg = msg @ op[0].astype(dt) + op[1].astype(dt)
+            y = jnp.concatenate([x, msg], axis=-1)
+            y = y @ f0[0].astype(dt) + f0[1].astype(dt)
         y = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="ffn_norm")(y)
         y = nn.gelu(y, approximate=False)
         y = nn.Dense(D, dtype=dt, name="ffn1")(y)
@@ -207,6 +254,7 @@ class LGLayer(nn.Module):
     width_confidence: float = -1.0
     dtype: str = "float32"
     nll_balancing: float = 0.5
+    fold_out_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -220,8 +268,16 @@ class LGLayer(nn.Module):
         mask = jnp.concatenate([mask0, mask1], axis=0)
         self_block = SelfBlock(self.dim, self.num_heads, self.dtype, name="self_attn")
         cross_block = CrossBlock(self.dim, self.num_heads, self.dtype, name="cross_attn")
-        x = self_block(x, enc, mask)
-        x = cross_block(x, mask0, mask1)
+        # the out_proj fold is an inference-only reparametrization: training
+        # must keep the unfused params as the gradient variables
+        fold = (
+            self.fold_out_proj
+            and not collect_scores
+            and gt is None
+            and not self.is_initializing()
+        )
+        x = self_block(x, enc, mask, fold)
+        x = cross_block(x, mask0, mask1, fold)
         x0, x1 = x[:B], x[B:]
         # per-layer heads; the heavy assignment only for training (deep
         # supervision) or the last layer (inference). When neither the
@@ -315,6 +371,10 @@ class LightGlue(BaseModel):
         "depth_confidence": -1,  # adaptive depth (masked; -1 = off)
         "width_confidence": -1,  # adaptive width via masking (-1 = off)
         "dtype": "float32",  # "bfloat16": transformer compute on the MXU
+        # inference-only fold of each block's out_proj into ffn0's message
+        # half (exact algebra, `_merged_message_ffn0`): one fewer (N, D)x
+        # (D, D) matmul + concat materialization per block
+        "fold_out_proj": False,
         # fused Pallas exit head (ops/pallas_assignment.py); off until
         # validated on the real chip (see docs/kernels.md)
         "kernel_exit_head": False,
@@ -372,6 +432,7 @@ class LightGlue(BaseModel):
             float(c.width_confidence),
             c.dtype,
             float(c.loss["nll_balancing"]),
+            bool(c.get("fold_out_proj", False)),
             name="layers",
         )
 
@@ -619,6 +680,7 @@ class LightGlue(BaseModel):
             c.num_heads,
             float(c.width_confidence),
             c.dtype,
+            fold_out_proj=bool(c.get("fold_out_proj", False)),
             parent=None,  # standalone template, applied with sliced params
         )
         valid = jnp.concatenate([mask0, mask1], axis=-1)  # (B, 2K)
