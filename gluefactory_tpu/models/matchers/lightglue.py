@@ -98,6 +98,14 @@ class SelfBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: str = "float32"
+    # qkv projection output column order:
+    #   "dh3": official-checkpoint innermost (Dh, 3) — q/k/v extraction is a
+    #          stride-3 LANE gather per layer (layout-hostile on the (8, 128)
+    #          tiling, like the interleaved rotary was);
+    #   "3hd": outermost (3, H, Dh) — q/k/v are contiguous slices. Same math:
+    #          the conversion map permutes the SAME columns of the weight
+    #          (`torch_weights._qkv_columns_3hd`), checkpoints interchange.
+    qkv_layout: str = "dh3"
 
     @nn.compact
     def __call__(self, x, encoding, mask, fold: bool = False):
@@ -105,11 +113,17 @@ class SelfBlock(nn.Module):
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
-        # qkv layout matches the official checkpoints: innermost (Dh, 3)
-        qkv = nn.Dense(3 * D, dtype=dt, name="Wqkv")(x).reshape(B, N, H, D // H, 3)
-        q, k, v = (
-            jnp.moveaxis(qkv[..., i], 2, 1) for i in range(3)
-        )  # (B, H, N, Dh)
+        qkv = nn.Dense(3 * D, dtype=dt, name="Wqkv")(x)
+        if self.qkv_layout == "3hd":
+            qkv = qkv.reshape(B, N, 3, H, D // H)
+            q, k, v = (
+                qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3)
+            )  # (B, H, N, Dh)
+        else:
+            qkv = qkv.reshape(B, N, H, D // H, 3)
+            q, k, v = (
+                jnp.moveaxis(qkv[..., i], 2, 1) for i in range(3)
+            )  # (B, H, N, Dh)
         # rotary in the compute dtype (the reference's autocast applies it in
         # fp16 too, `lightglue.py:43-47`); f32 when the model runs f32
         enc = encoding.astype(dt)
@@ -143,6 +157,10 @@ class CrossBlock(nn.Module):
     dim: int
     num_heads: int
     dtype: str = "float32"
+    # run to_qk and to_v as ONE (D, 2D) matmul (kernels concatenated at
+    # trace time — param names/checkpoints unchanged): one MXU dispatch
+    # instead of two half-width ones.
+    merge_proj: bool = False
 
     @nn.compact
     def __call__(self, x, mask0, mask1, fold: bool = False):
@@ -151,8 +169,16 @@ class CrossBlock(nn.Module):
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
-        qk = nn.Dense(D, dtype=dt, name="to_qk")(x)
-        v = nn.Dense(D, dtype=dt, name="to_v")(x)
+        if self.merge_proj:
+            qk_p = _DenseParams(D, D, name="to_qk")()
+            v_p = _DenseParams(D, D, name="to_v")()
+            w = jnp.concatenate([qk_p[0], v_p[0]], axis=1).astype(dt)
+            b = jnp.concatenate([qk_p[1], v_p[1]]).astype(dt)
+            qkv_ = x @ w + b
+            qk, v = qkv_[..., :D], qkv_[..., D:]
+        else:
+            qk = nn.Dense(D, dtype=dt, name="to_qk")(x)
+            v = nn.Dense(D, dtype=dt, name="to_v")(x)
         qk = qk.reshape(B2, N, H, D // H).transpose(0, 2, 1, 3)
         v = v.reshape(B2, N, H, D // H).transpose(0, 2, 1, 3)
         m0, m1 = bidirectional_cross_attention(
@@ -255,6 +281,8 @@ class LGLayer(nn.Module):
     dtype: str = "float32"
     nll_balancing: float = 0.5
     fold_out_proj: bool = False
+    qkv_layout: str = "dh3"
+    merge_cross_proj: bool = False
 
     @nn.compact
     def __call__(
@@ -266,8 +294,14 @@ class LGLayer(nn.Module):
         x, enc, mask0, mask1, train_flag = carry
         B = x.shape[0] // 2
         mask = jnp.concatenate([mask0, mask1], axis=0)
-        self_block = SelfBlock(self.dim, self.num_heads, self.dtype, name="self_attn")
-        cross_block = CrossBlock(self.dim, self.num_heads, self.dtype, name="cross_attn")
+        self_block = SelfBlock(
+            self.dim, self.num_heads, self.dtype,
+            qkv_layout=self.qkv_layout, name="self_attn",
+        )
+        cross_block = CrossBlock(
+            self.dim, self.num_heads, self.dtype,
+            merge_proj=self.merge_cross_proj, name="cross_attn",
+        )
         # the out_proj fold is an inference-only reparametrization: training
         # must keep the unfused params as the gradient variables
         fold = (
@@ -375,6 +409,15 @@ class LightGlue(BaseModel):
         # half (exact algebra, `_merged_message_ffn0`): one fewer (N, D)x
         # (D, D) matmul + concat materialization per block
         "fold_out_proj": False,
+        # qkv projection column order: "dh3" (official innermost (Dh, 3)) or
+        # "3hd" (contiguous q/k/v slices, layout-friendly on TPU lanes);
+        # conversion permutes checkpoint columns to match (SelfBlock doc)
+        "qkv_layout": "dh3",
+        # one merged (D, 2D) cross to_qk/to_v matmul (CrossBlock doc)
+        "merge_cross_proj": False,
+        # lax.scan unroll factor for the layer stack: >1 lets XLA fuse
+        # across layer boundaries at the cost of compile time
+        "scan_unroll": 1,
         # fused Pallas exit head (ops/pallas_assignment.py); off until
         # validated on the real chip (see docs/kernels.md)
         "kernel_exit_head": False,
@@ -426,6 +469,7 @@ class LightGlue(BaseModel):
             length=c.n_layers,
             # xs scanned; collect_scores/need_conf (static) + gt broadcast
             in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast),
+            unroll=int(c.get("scan_unroll", 1)),
         )(
             D,
             c.num_heads,
@@ -433,6 +477,8 @@ class LightGlue(BaseModel):
             c.dtype,
             float(c.loss["nll_balancing"]),
             bool(c.get("fold_out_proj", False)),
+            str(c.get("qkv_layout", "dh3")),
+            bool(c.get("merge_cross_proj", False)),
             name="layers",
         )
 
@@ -681,6 +727,8 @@ class LightGlue(BaseModel):
             float(c.width_confidence),
             c.dtype,
             fold_out_proj=bool(c.get("fold_out_proj", False)),
+            qkv_layout=str(c.get("qkv_layout", "dh3")),
+            merge_cross_proj=bool(c.get("merge_cross_proj", False)),
             parent=None,  # standalone template, applied with sliced params
         )
         valid = jnp.concatenate([mask0, mask1], axis=-1)  # (B, 2K)

@@ -191,7 +191,24 @@ _LG_RENAMES = [
 ]
 
 
-def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
+def qkv_columns_3hd(wqkv: dict, n_heads: int = 4) -> dict:
+    """Reorder fused-QKV output columns from the official innermost (Dh, 3)
+    to the TPU-friendly outermost (3, H, Dh) (`lightglue.qkv_layout: 3hd`).
+    Pure column permutation of the SAME weights — outputs are identical, the
+    module just slices contiguously instead of stride-3 lane gathers."""
+    kernel, bias = np.asarray(wqkv["kernel"]), np.asarray(wqkv["bias"])
+    D3 = kernel.shape[1]
+    D = D3 // 3
+    o_new = np.arange(D3)
+    # new index o' = j*D + r  reads old index  o = r*3 + j
+    perm = (o_new % D) * 3 + o_new // D
+    return {
+        "kernel": np.ascontiguousarray(kernel[:, perm]),
+        "bias": np.ascontiguousarray(bias[perm]),
+    }
+
+
+def convert_lightglue(sd: dict, n_layers: int = 9, qkv_layout: str = "dh3") -> dict:
     """Official LightGlue checkpoint -> flax params (scan-stacked layers)."""
     # normalize historical key names
     renamed = {}
@@ -219,7 +236,7 @@ def convert_lightglue(sd: dict, n_layers: int = 9) -> dict:
     params = {
         "input_proj": input_proj,
         "posenc_freqs": np.ascontiguousarray(sd["posenc.Wr.weight"].T),
-        "layers": stack(lambda i: _lg_layer(sd, i, n_layers)),
+        "layers": stack(lambda i: _lg_layer(sd, i, n_layers, qkv_layout)),
     }
     return {"params": params}
 
@@ -255,11 +272,14 @@ def _permute_rotary_qk(wqkv: dict, n_heads: int = 4) -> dict:
     }
 
 
-def _lg_layer(sd, i, n_layers):
+def _lg_layer(sd, i, n_layers, qkv_layout: str = "dh3"):
     p = f"transformers.{i}"
+    wqkv = _permute_rotary_qk(t_linear(sd, f"{p}.self_attn.Wqkv"))
+    if qkv_layout == "3hd":
+        wqkv = qkv_columns_3hd(wqkv)
     layer = {
         "self_attn": {
-            "Wqkv": _permute_rotary_qk(t_linear(sd, f"{p}.self_attn.Wqkv")),
+            "Wqkv": wqkv,
             "out_proj": t_linear(sd, f"{p}.self_attn.out_proj"),
             "ffn0": t_linear(sd, f"{p}.self_attn.ffn.0"),
             "ffn_norm": t_layernorm(sd, f"{p}.self_attn.ffn.1"),

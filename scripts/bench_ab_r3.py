@@ -94,8 +94,14 @@ def main():
 
     variants = {
         "baseline": {},
-        "fold": {"fold_out_proj": True},
-        "fold+exit_kernel": {"fold_out_proj": True, "kernel_exit_head": True},
+        "qkv3hd": {"qkv_layout": "3hd"},
+        "merge_cross": {"merge_cross_proj": True},
+        "unroll9": {"scan_unroll": 9},
+        "combo": {
+            "qkv_layout": "3hd",
+            "merge_cross_proj": True,
+            "scan_unroll": 9,
+        },
     }
     out = {}
     for name, vc in variants.items():

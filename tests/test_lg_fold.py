@@ -65,3 +65,62 @@ def test_fold_training_path_unchanged():
         np.asarray(out0["all_log_assignment"]),
         atol=1e-6,
     )
+
+
+def test_qkv_layout_3hd_exact():
+    """qkv_layout="3hd" with column-permuted weights is output-identical to
+    the official "dh3" layout."""
+    import numpy as _np
+
+    from gluefactory_tpu.utils.torch_weights import qkv_columns_3hd
+
+    rng = np.random.RandomState(2)
+    data = _data(rng)
+    base = get_model("lightglue").from_conf(CONF)
+    m3hd = get_model("lightglue").from_conf({**CONF, "qkv_layout": "3hd"})
+    variables = base.init(jax.random.PRNGKey(0), data, train=False)
+    # permute the stacked (L, D, 3D) Wqkv columns layer by layer
+    import flax
+
+    params = flax.core.unfreeze(variables["params"]) if hasattr(
+        flax.core, "unfreeze") else dict(variables["params"])
+    wqkv = params["layers"]["self_attn"]["Wqkv"]
+    perm = [
+        qkv_columns_3hd(
+            {"kernel": _np.asarray(wqkv["kernel"][i]),
+             "bias": _np.asarray(wqkv["bias"][i])},
+            n_heads=CONF["num_heads"],
+        )
+        for i in range(CONF["n_layers"])
+    ]
+    params["layers"]["self_attn"]["Wqkv"] = {
+        "kernel": jnp.stack([jnp.asarray(p["kernel"]) for p in perm]),
+        "bias": jnp.stack([jnp.asarray(p["bias"]) for p in perm]),
+    }
+    out0 = base.apply(variables, data, train=False)
+    out1 = m3hd.apply({"params": params}, data, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out1["log_assignment"]),
+        np.asarray(out0["log_assignment"]),
+        atol=5e-5,
+    )
+
+
+def test_merge_cross_proj_and_unroll_exact():
+    rng = np.random.RandomState(3)
+    data = _data(rng)
+    base = get_model("lightglue").from_conf(CONF)
+    merged = get_model("lightglue").from_conf(
+        {**CONF, "merge_cross_proj": True, "scan_unroll": 3}
+    )
+    variables = base.init(jax.random.PRNGKey(0), data, train=False)
+    out0 = base.apply(variables, data, train=False)
+    out1 = merged.apply(variables, data, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out1["log_assignment"]),
+        np.asarray(out0["log_assignment"]),
+        atol=5e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["matches0"]), np.asarray(out0["matches0"])
+    )
