@@ -155,6 +155,14 @@ def main():
             "descriptor_dim": 256,
             "num_heads": 4,
             "dtype": "bfloat16",
+            # r3 A/B winners (scripts/bench_ab_r3.py, within-process):
+            # 3hd QKV columns + merged cross proj + scan unroll = +7.2%,
+            # out_proj->ffn0 fold = +0.9% on top; all f32-exactness-tested
+            # against the baseline layout (tests/test_lg_fold.py)
+            "qkv_layout": "3hd",
+            "merge_cross_proj": True,
+            "scan_unroll": 9,
+            "fold_out_proj": True,
         },
     }
     model = get_model("two_view_pipeline").from_conf(conf)

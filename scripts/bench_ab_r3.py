@@ -93,14 +93,24 @@ def main():
     print(f"floor {floor*1000:.1f} ms", file=sys.stderr)
 
     variants = {
-        "baseline": {},
-        "qkv3hd": {"qkv_layout": "3hd"},
-        "merge_cross": {"merge_cross_proj": True},
-        "unroll9": {"scan_unroll": 9},
         "combo": {
             "qkv_layout": "3hd",
             "merge_cross_proj": True,
             "scan_unroll": 9,
+        },
+        "fold": {"fold_out_proj": True},
+        "combo_fold": {
+            "qkv_layout": "3hd",
+            "merge_cross_proj": True,
+            "scan_unroll": 9,
+            "fold_out_proj": True,
+        },
+        "combo_fold_kexit": {
+            "qkv_layout": "3hd",
+            "merge_cross_proj": True,
+            "scan_unroll": 9,
+            "fold_out_proj": True,
+            "kernel_exit_head": True,
         },
     }
     out = {}
