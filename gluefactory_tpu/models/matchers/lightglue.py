@@ -67,6 +67,26 @@ class _DenseParams(nn.Module):
         return k, b
 
 
+class _LNParams(nn.Module):
+    """Bare LayerNorm parameters with nn.LayerNorm's naming/shapes/init, for
+    paths that consume the raw scale/bias (the fused layer kernel)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.dim,))
+        b = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return s, b
+
+
+def _fused_layer_ok(n: int, m: int) -> bool:
+    from ...ops.attention import _use_pallas
+    from ...ops.pallas_lg_layer import fits_fused_layer
+
+    return _use_pallas() and fits_fused_layer(n, m)
+
+
 def _merged_message_ffn0(x, msg, op, f0, dt):
     """Inference-only algebraic fold of out_proj into ffn0's message half:
 
@@ -108,11 +128,33 @@ class SelfBlock(nn.Module):
     qkv_layout: str = "dh3"
 
     @nn.compact
-    def __call__(self, x, encoding, mask, fold: bool = False):
+    def __call__(self, x, encoding, mask, fold: bool = False,
+                 fused: bool = False):
         B, N, D = x.shape
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
+        if fused and _fused_layer_ok(N, N):
+            # whole block in one Pallas/VMEM pass (inference only): QKV,
+            # rotary, attention, folded out_proj+ffn0, LN, GELU, ffn1, +x
+            from ...ops.pallas_lg_layer import fused_self_block
+
+            qkv_p = _DenseParams(D, 3 * D, name="Wqkv")()
+            op = _DenseParams(D, D, name="out_proj")()
+            f0 = _DenseParams(2 * D, 2 * D, name="ffn0")()
+            ln = _LNParams(2 * D, name="ffn_norm")()
+            f1 = _DenseParams(2 * D, D, name="ffn1")()
+            params = {
+                "Wqkv": {"kernel": qkv_p[0], "bias": qkv_p[1]},
+                "out_proj": {"kernel": op[0], "bias": op[1]},
+                "ffn0": {"kernel": f0[0], "bias": f0[1]},
+                "ffn_norm": {"scale": ln[0], "bias": ln[1]},
+                "ffn1": {"kernel": f1[0], "bias": f1[1]},
+            }
+            return fused_self_block(
+                x, encoding.astype(dt), mask, params,
+                num_heads=H, qkv_layout=self.qkv_layout,
+            )
         qkv = nn.Dense(3 * D, dtype=dt, name="Wqkv")(x)
         if self.qkv_layout == "3hd":
             qkv = qkv.reshape(B, N, 3, H, D // H)
@@ -163,12 +205,36 @@ class CrossBlock(nn.Module):
     merge_proj: bool = False
 
     @nn.compact
-    def __call__(self, x, mask0, mask1, fold: bool = False):
+    def __call__(self, x, mask0, mask1, fold: bool = False,
+                 fused: bool = False):
         B2, N, D = x.shape
         B = B2 // 2
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
+        if fused and _fused_layer_ok(N, N):
+            # whole block in one Pallas/VMEM pass (inference only): shared
+            # similarity, both softmax directions, folded FFN tails
+            from ...ops.pallas_lg_layer import fused_cross_block
+
+            qk_p = _DenseParams(D, D, name="to_qk")()
+            v_p = _DenseParams(D, D, name="to_v")()
+            op = _DenseParams(D, D, name="out_proj")()
+            f0 = _DenseParams(2 * D, 2 * D, name="ffn0")()
+            ln = _LNParams(2 * D, name="ffn_norm")()
+            f1 = _DenseParams(2 * D, D, name="ffn1")()
+            params = {
+                "to_qk": {"kernel": qk_p[0], "bias": qk_p[1]},
+                "to_v": {"kernel": v_p[0], "bias": v_p[1]},
+                "out_proj": {"kernel": op[0], "bias": op[1]},
+                "ffn0": {"kernel": f0[0], "bias": f0[1]},
+                "ffn_norm": {"scale": ln[0], "bias": ln[1]},
+                "ffn1": {"kernel": f1[0], "bias": f1[1]},
+            }
+            y0, y1 = fused_cross_block(
+                x[:B], x[B:], mask0, mask1, params, num_heads=H
+            )
+            return jnp.concatenate([y0, y1], axis=0)
         if self.merge_proj:
             qk_p = _DenseParams(D, D, name="to_qk")()
             v_p = _DenseParams(D, D, name="to_v")()
@@ -283,6 +349,7 @@ class LGLayer(nn.Module):
     fold_out_proj: bool = False
     qkv_layout: str = "dh3"
     merge_cross_proj: bool = False
+    fused_layer: bool = False
 
     @nn.compact
     def __call__(
@@ -304,14 +371,15 @@ class LGLayer(nn.Module):
         )
         # the out_proj fold is an inference-only reparametrization: training
         # must keep the unfused params as the gradient variables
-        fold = (
-            self.fold_out_proj
-            and not collect_scores
-            and gt is None
-            and not self.is_initializing()
+        inference = (
+            not collect_scores and gt is None and not self.is_initializing()
         )
-        x = self_block(x, enc, mask, fold)
-        x = cross_block(x, mask0, mask1, fold)
+        fold = self.fold_out_proj and inference
+        # the fused layer kernel bakes the fold algebra in regardless of the
+        # fold flag (both are exact inference-time reparametrizations)
+        fused = self.fused_layer and inference
+        x = self_block(x, enc, mask, fold, fused)
+        x = cross_block(x, mask0, mask1, fold, fused)
         x0, x1 = x[:B], x[B:]
         # per-layer heads; the heavy assignment only for training (deep
         # supervision) or the last layer (inference). When neither the
@@ -415,6 +483,11 @@ class LightGlue(BaseModel):
         "qkv_layout": "dh3",
         # one merged (D, 2D) cross to_qk/to_v matmul (CrossBlock doc)
         "merge_cross_proj": False,
+        # evaluate each self/cross block as ONE Pallas kernel (inference on
+        # TPU): QKV+rotary+attention+folded FFN+LN+GELU in a single VMEM
+        # pass (ops/pallas_lg_layer.py) — removes the per-layer HBM round
+        # trips behind the ~32% MXU utilization
+        "fused_layer": False,
         # lax.scan unroll factor for the layer stack: >1 lets XLA fuse
         # across layer boundaries at the cost of compile time
         "scan_unroll": 1,
@@ -479,6 +552,7 @@ class LightGlue(BaseModel):
             bool(c.get("fold_out_proj", False)),
             str(c.get("qkv_layout", "dh3")),
             bool(c.get("merge_cross_proj", False)),
+            bool(c.get("fused_layer", False)),
             name="layers",
         )
 
@@ -729,6 +803,7 @@ class LightGlue(BaseModel):
             fold_out_proj=bool(c.get("fold_out_proj", False)),
             qkv_layout=str(c.get("qkv_layout", "dh3")),
             merge_cross_proj=bool(c.get("merge_cross_proj", False)),
+            fused_layer=bool(c.get("fused_layer", False)),
             parent=None,  # standalone template, applied with sliced params
         )
         valid = jnp.concatenate([mask0, mask1], axis=-1)  # (B, 2K)

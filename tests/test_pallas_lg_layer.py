@@ -1,0 +1,154 @@
+"""Fused LightGlue layer kernels vs the XLA block path (interpret mode on
+CPU). f32 runs should agree to ~1e-4 (identical algebra, f32 accumulation);
+bf16 runs to bf16 rounding tolerances."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+import gluefactory_tpu.ops.pallas_lg_layer as pll
+from gluefactory_tpu.models.matchers.lightglue import CrossBlock, SelfBlock
+
+B, N, D, H = 2, 256, 256, 4
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    orig = pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(pll.pl, "pallas_call", patched)
+
+
+def _self_inputs(rng, n=N, dtype=jnp.float32):
+    x = jnp.asarray(rng.randn(2 * B, n, D) * 0.5, dtype)
+    enc = jnp.asarray(rng.randn(2 * B, n, 2, D // H // 2), jnp.float32)
+    mask = jnp.asarray(rng.rand(2 * B, n) > 0.2)
+    return x, enc, mask
+
+
+@pytest.mark.parametrize("qkv_layout", ["dh3", "3hd"])
+def test_fused_self_block_matches_xla_f32(qkv_layout):
+    rng = np.random.RandomState(0)
+    x, enc, mask = _self_inputs(rng)
+    blk = SelfBlock(D, H, "float32", qkv_layout=qkv_layout)
+    vs = blk.init(jax.random.PRNGKey(0), x, enc, mask)
+    ref = blk.apply(vs, x, enc, mask)  # unfused, unfolded
+    out = pll.fused_self_block(
+        x, enc, mask, vs["params"], num_heads=H, qkv_layout=qkv_layout
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_self_block_unaligned_tokens():
+    # N = 200: padding lanes/rows must not leak into valid outputs
+    rng = np.random.RandomState(1)
+    x, enc, mask = _self_inputs(rng, n=200)
+    blk = SelfBlock(D, H, "float32")
+    vs = blk.init(jax.random.PRNGKey(0), x, enc, mask)
+    ref = blk.apply(vs, x, enc, mask)
+    out = pll.fused_self_block(x, enc, mask, vs["params"], num_heads=H,
+                               qkv_layout="dh3")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_self_block_bf16():
+    rng = np.random.RandomState(2)
+    x, enc, mask = _self_inputs(rng, dtype=jnp.bfloat16)
+    blk = SelfBlock(D, H, "bfloat16")
+    vs = blk.init(jax.random.PRNGKey(0), x, enc, mask)
+    ref = blk.apply(vs, x, enc, mask).astype(jnp.float32)
+    out = pll.fused_self_block(
+        x, enc, mask, vs["params"], num_heads=H, qkv_layout="dh3"
+    ).astype(jnp.float32)
+    # bf16 rounding accumulates differently (kernel holds f32 through the
+    # FFN tail); compare at bf16-resolution tolerances
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = np.maximum(np.abs(np.asarray(ref)), 1.0)
+    assert np.quantile(err / scale, 0.999) < 0.1
+
+
+def test_fused_cross_block_matches_xla_f32():
+    rng = np.random.RandomState(3)
+    n, m = 256, 128
+    x0 = jnp.asarray(rng.randn(B, n, D) * 0.5, jnp.float32)
+    x1 = jnp.asarray(rng.randn(B, m, D) * 0.5, jnp.float32)
+    mask0 = jnp.asarray(rng.rand(B, n) > 0.2)
+    mask1 = jnp.asarray(rng.rand(B, m) > 0.2)
+    # the XLA CrossBlock consumes the stacked (2B, K, D) tensor: pad to a
+    # common K with invalid tokens, exactly like LightGlue._forward
+    k = max(n, m)
+    xs = jnp.concatenate(
+        [
+            jnp.pad(x0, ((0, 0), (0, k - n), (0, 0))),
+            jnp.pad(x1, ((0, 0), (0, k - m), (0, 0))),
+        ],
+        axis=0,
+    )
+    m0p = jnp.pad(mask0, ((0, 0), (0, k - n)))
+    m1p = jnp.pad(mask1, ((0, 0), (0, k - m)))
+    blk = CrossBlock(D, H, "float32")
+    vs = blk.init(jax.random.PRNGKey(0), xs, m0p, m1p)
+    ref = blk.apply(vs, xs, m0p, m1p)
+    y0, y1 = pll.fused_cross_block(
+        x0, x1, mask0, mask1, vs["params"], num_heads=H
+    )
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(ref[:B, :n]), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(y1), np.asarray(ref[B:, :m]), atol=2e-4
+    )
+
+
+def test_fused_blocks_fully_masked_batch():
+    # a batch element with zero valid tokens must not produce NaNs
+    rng = np.random.RandomState(4)
+    x, enc, mask = _self_inputs(rng, n=128)
+    mask = mask.at[0].set(False)
+    blk = SelfBlock(D, H, "float32")
+    vs = blk.init(jax.random.PRNGKey(0), x, enc, mask)
+    out = pll.fused_self_block(x, enc, mask, vs["params"], num_heads=H,
+                               qkv_layout="dh3")
+    assert bool(jnp.all(jnp.isfinite(out)))
+    ref = blk.apply(vs, x, enc, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_lightglue_forward_fused_layer(monkeypatch):
+    """End-to-end: fused_layer=True matches the standard forward."""
+    import gluefactory_tpu.models.matchers.lightglue as lg
+    from gluefactory_tpu.models import get_model
+
+    monkeypatch.setattr(lg, "_fused_layer_ok", lambda n, m: True)
+    rng = np.random.RandomState(5)
+    n = 128
+    data = {
+        "keypoints0": jnp.asarray(rng.rand(B, n, 2) * 400, jnp.float32),
+        "keypoints1": jnp.asarray(rng.rand(B, n, 2) * 400, jnp.float32),
+        "descriptors0": jnp.asarray(rng.randn(B, n, D), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(B, n, D), jnp.float32),
+        "keypoint_valid0": jnp.asarray(rng.rand(B, n) > 0.1),
+        "keypoint_valid1": jnp.asarray(rng.rand(B, n) > 0.1),
+    }
+    base = {"n_layers": 2, "filter_threshold": 0.1, "weights": None}
+    m_ref = get_model("lightglue").from_conf(base)
+    vs = m_ref.init(jax.random.PRNGKey(0), data)
+    ref = m_ref.apply(vs, data)
+    m_fused = get_model("lightglue").from_conf({**base, "fused_layer": True})
+    out = m_fused.apply(vs, data)
+    np.testing.assert_allclose(
+        np.asarray(out["log_assignment"]),
+        np.asarray(ref["log_assignment"]),
+        atol=5e-3,
+    )
+    agree = np.mean(
+        np.asarray(out["matches0"]) == np.asarray(ref["matches0"])
+    )
+    assert agree > 0.99
