@@ -156,7 +156,40 @@ def main():
     vf = ffn.init(jax.random.PRNGKey(0), x)
     out["ffn_ms"] = timed(scan_over(lambda c: ffn.apply(vf, c), x), floor)
 
-    print(json.dumps({k: round(v, 4) for k, v in out.items()}))
+    # (h/i) fully-fused one-kernel blocks (ops/pallas_lg_layer.py), vs (a/b)
+    from gluefactory_tpu.ops.pallas_lg_layer import (
+        fused_cross_block,
+        fused_self_block,
+    )
+
+    try:
+        out["fused_self_block_ms"] = timed(
+            scan_over(
+                lambda c: fused_self_block(
+                    c, enc.astype(c.dtype), mask, vs["params"],
+                    num_heads=H, qkv_layout="dh3",
+                ),
+                x,
+            ),
+            floor,
+        )
+        out["fused_cross_block_ms"] = timed(
+            scan_over(
+                lambda c: jnp.concatenate(
+                    fused_cross_block(
+                        c[:B], c[B:], m0, m1, vc["params"], num_heads=H
+                    ),
+                    axis=0,
+                ),
+                x,
+            ),
+            floor,
+        )
+    except Exception as e:  # Mosaic lowering failure: report, keep the rest
+        out["fused_error"] = f"{type(e).__name__}"
+        print(f"fused blocks failed: {e}", file=sys.stderr)
+
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v) for k, v in out.items()}))
 
 
 if __name__ == "__main__":
