@@ -152,3 +152,33 @@ def test_lightglue_forward_fused_layer(monkeypatch):
         np.asarray(out["matches0"]) == np.asarray(ref["matches0"])
     )
     assert agree > 0.99
+
+
+def test_lightglue_adaptive_depth_fused_layer(monkeypatch):
+    """Fused kernels inside the adaptive-depth while_loop body."""
+    import gluefactory_tpu.models.matchers.lightglue as lg
+    from gluefactory_tpu.models import get_model
+
+    monkeypatch.setattr(lg, "_fused_layer_ok", lambda n, m: True)
+    rng = np.random.RandomState(6)
+    n = 128
+    data = {
+        "keypoints0": jnp.asarray(rng.rand(B, n, 2) * 400, jnp.float32),
+        "keypoints1": jnp.asarray(rng.rand(B, n, 2) * 400, jnp.float32),
+        "descriptors0": jnp.asarray(rng.randn(B, n, D), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(B, n, D), jnp.float32),
+    }
+    base = {"n_layers": 2, "depth_confidence": 0.95, "weights": None}
+    m_init = get_model("lightglue").from_conf({**base, "depth_confidence": -1})
+    vs = m_init.init(jax.random.PRNGKey(0), data)
+    m_ref = get_model("lightglue").from_conf(base)
+    ref = m_ref.apply(vs, data)
+    m_fused = get_model("lightglue").from_conf({**base, "fused_layer": True})
+    out = m_fused.apply(vs, data)
+    assert np.array_equal(
+        np.asarray(out["stop_layers"]), np.asarray(ref["stop_layers"])
+    )
+    agree = np.mean(
+        np.asarray(out["matches0"]) == np.asarray(ref["matches0"])
+    )
+    assert agree > 0.99
