@@ -130,6 +130,56 @@ def bench_loftr(floor):
     return _measure(run_jit, floor, (variables, im0, im1), B * iters)
 
 
+def _fused_layer_wins():
+    """On-chip gate for `lightglue.fused_layer` (ops/pallas_lg_layer.py):
+    the one-kernel-per-block path must COMPILE (Mosaic lowering can fail
+    where interpret mode passes) and AGREE with the XLA path on a matcher
+    forward at the flagship token count before the flagship enables it.
+    Runs only on TPU; any failure falls back to the proven config."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models import get_model
+
+    try:
+        from gluefactory_tpu.ops.attention import _use_pallas
+
+        if not _use_pallas():
+            return False
+        rng = np.random.RandomState(7)
+        b, n, d = 2, NUM_KPTS, 256
+        k0 = rng.rand(b, n, 2).astype(np.float32) * 480
+        d0 = rng.randn(b, n, d).astype(np.float32)
+        d0 /= np.linalg.norm(d0, axis=-1, keepdims=True)
+        d1 = d0 + 0.05 * rng.randn(b, n, d).astype(np.float32)
+        d1 /= np.linalg.norm(d1, axis=-1, keepdims=True)
+        data = {
+            "keypoints0": jnp.asarray(k0),
+            "keypoints1": jnp.asarray(k0 + 1.0),
+            "descriptors0": jnp.asarray(d0),
+            "descriptors1": jnp.asarray(d1),
+        }
+        base = {
+            "n_layers": 2,
+            "dtype": "bfloat16",
+            "fold_out_proj": True,
+            "weights": None,
+        }
+        m_ref = get_model("lightglue").from_conf(base)
+        vs = m_ref.init(jax.random.PRNGKey(0), data)
+        ref = jax.jit(lambda v, dd: m_ref.apply(v, dd, train=False))(vs, data)
+        m_fus = get_model("lightglue").from_conf({**base, "fused_layer": True})
+        out = jax.jit(lambda v, dd: m_fus.apply(v, dd, train=False))(vs, data)
+        agree = float(
+            jnp.mean(
+                (out["matches0"] == ref["matches0"]).astype(jnp.float32)
+            )
+        )
+        return agree > 0.95
+    except Exception:
+        return False
+
+
 def main():
     import jax
 
@@ -140,6 +190,7 @@ def main():
 
     from gluefactory_tpu.models import get_model
 
+    use_fused = _fused_layer_wins()
     conf = {
         "name": "two_view_pipeline",
         "extractor": {
@@ -163,6 +214,9 @@ def main():
             "merge_cross_proj": True,
             "scan_unroll": 9,
             "fold_out_proj": True,
+            # one-Pallas-kernel-per-block layers, enabled only after the
+            # on-chip compile+exactness gate passes (_fused_layer_wins)
+            "fused_layer": use_fused,
         },
     }
     model = get_model("two_view_pipeline").from_conf(conf)
@@ -202,8 +256,18 @@ def main():
     # measure the RPC floor with a no-compute function
     floor_jit = jax.jit(lambda x: x + 1)
 
-    # warmup / compile
-    float(jax.device_get(run_jit(variables, imgs0, imgs1)))
+    # warmup / compile; if the fused-layer flagship fails to compile despite
+    # the probe (e.g. VMEM pressure differs at full batch), fall back
+    try:
+        float(jax.device_get(run_jit(variables, imgs0, imgs1)))
+    except Exception:
+        if not use_fused:
+            raise
+        use_fused = False
+        conf["matcher"]["fused_layer"] = False
+        model = get_model("two_view_pipeline").from_conf(conf)
+        run_jit = jax.jit(run_all)
+        float(jax.device_get(run_jit(variables, imgs0, imgs1)))
     float(jax.device_get(floor_jit(jnp.float32(0))))
 
     floors = []
@@ -224,7 +288,7 @@ def main():
         ),
     )
 
-    extra = {}
+    extra = {"fused_layer": use_fused}
     for name, fn in (("gluestick", bench_gluestick), ("loftr", bench_loftr)):
         try:
             extra[f"{name}_pairs_per_s"] = round(fn(floor), 2)
