@@ -175,8 +175,17 @@ def _fused_layer_wins():
                 (out["matches0"] == ref["matches0"]).astype(jnp.float32)
             )
         )
-        return agree > 0.95
-    except Exception:
+        if agree <= 0.999:  # the A/B gate treats ~1.0 as the bar
+            import sys
+
+            print(f"fused_layer gate: agreement {agree:.4f} <= 0.999,"
+                  " staying on the XLA path", file=sys.stderr)
+        return agree > 0.999
+    except Exception as e:  # pragma: no cover - chip-only path
+        import sys
+
+        print(f"fused_layer gate: {type(e).__name__}: {str(e)[:300]}",
+              file=sys.stderr)
         return False
 
 

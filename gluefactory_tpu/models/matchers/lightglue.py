@@ -80,11 +80,11 @@ class _LNParams(nn.Module):
         return s, b
 
 
-def _fused_layer_ok(n: int, m: int) -> bool:
+def _fused_layer_ok(n: int, m: int, head_dim: int) -> bool:
     from ...ops.attention import _use_pallas
     from ...ops.pallas_lg_layer import fits_fused_layer
 
-    return _use_pallas() and fits_fused_layer(n, m)
+    return _use_pallas() and fits_fused_layer(n, m, head_dim)
 
 
 def _merged_message_ffn0(x, msg, op, f0, dt):
@@ -134,7 +134,7 @@ class SelfBlock(nn.Module):
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
-        if fused and _fused_layer_ok(N, N):
+        if fused and _fused_layer_ok(N, N, D // H):
             # whole block in one Pallas/VMEM pass (inference only): QKV,
             # rotary, attention, folded out_proj+ffn0, LN, GELU, ffn1, +x
             from ...ops.pallas_lg_layer import fused_self_block
@@ -212,7 +212,7 @@ class CrossBlock(nn.Module):
         H = self.num_heads
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
-        if fused and _fused_layer_ok(N, N):
+        if fused and _fused_layer_ok(N, N, D // H):
             # whole block in one Pallas/VMEM pass (inference only): shared
             # similarity, both softmax directions, folded FFN tails
             from ...ops.pallas_lg_layer import fused_cross_block

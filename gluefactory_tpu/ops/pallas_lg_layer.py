@@ -69,6 +69,11 @@ def _rot_matrix(head_dim: int, dtype) -> jnp.ndarray:
     """(LANE, LANE) matrix P with (x @ P) = [-x2, x1, 0...] for the
     half-split rotary pair layout (`ops/attention.py:apply_cached_rotary_emb`):
     out lane i < F gets -x[F+i]; out lane F+i gets x[i]; padded lanes 0."""
+    if head_dim > LANE:
+        raise ValueError(
+            f"fused LightGlue layer kernels require head_dim <= {LANE} "
+            f"(got {head_dim}): per-head slabs are {LANE}-lane padded"
+        )
     F = head_dim // 2
     P = np.zeros((LANE, LANE), np.float32)
     for i in range(F):
@@ -391,7 +396,11 @@ def fused_cross_block(x0, x1, mask0, mask1, params, *, num_heads: int):
     return o0[:, :N], o1[:, :M]
 
 
-def fits_fused_layer(n: int, m: int) -> bool:
+def fits_fused_layer(n: int, m: int, head_dim: int = 64) -> bool:
     """VMEM gate: the (N, M) f32 similarity plus the resident operands of
-    one block must fit ~16 MB (peak live set ~= sim + exp + accumulators)."""
-    return n * m <= 2048 * 2048 and max(n, m) <= 4096
+    one block must fit ~16 MB. The cross kernel holds sim + exp + masked
+    copy + softmax stats live, so the bound is n*m <= 1024*2048 (the f32
+    sim alone is 16 MB at 2048x2048 — a guaranteed Mosaic OOM, advisor r3)."""
+    return (
+        n * m <= 1024 * 2048 and max(n, m) <= 2048 and head_dim <= LANE
+    )

@@ -61,8 +61,16 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}", file=sys.stderr)
             out[name] = None
             continue
-        if ref_matches is None:
+        if name == "combo_fold":
+            # the XLA ground truth: ONLY this variant may seed the gate —
+            # a fused variant seeding it would make the gate self-referential
             ref_matches = chk
+        elif ref_matches is None:
+            print(
+                f"{name}: exactness gate SKIPPED (combo_fold baseline did"
+                " not run — timing only, no correctness claim)",
+                file=sys.stderr,
+            )
         else:
             # checksum = sum(matches0) + sum(matching_scores0) over all
             # ITERS batches: a few flipped matches move it by O(1000)

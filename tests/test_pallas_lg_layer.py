@@ -126,7 +126,7 @@ def test_lightglue_forward_fused_layer(monkeypatch):
     import gluefactory_tpu.models.matchers.lightglue as lg
     from gluefactory_tpu.models import get_model
 
-    monkeypatch.setattr(lg, "_fused_layer_ok", lambda n, m: True)
+    monkeypatch.setattr(lg, "_fused_layer_ok", lambda n, m, hd: True)
     rng = np.random.RandomState(5)
     n = 128
     data = {
@@ -159,7 +159,7 @@ def test_lightglue_adaptive_depth_fused_layer(monkeypatch):
     import gluefactory_tpu.models.matchers.lightglue as lg
     from gluefactory_tpu.models import get_model
 
-    monkeypatch.setattr(lg, "_fused_layer_ok", lambda n, m: True)
+    monkeypatch.setattr(lg, "_fused_layer_ok", lambda n, m, hd: True)
     rng = np.random.RandomState(6)
     n = 128
     data = {
