@@ -138,13 +138,29 @@ def _fold_ffn0(op_k, op_b, f0_k, f0_b, num_heads: int):
     return w0x, wf, bf
 
 
+def _erf(x):
+    """erf for Mosaic: `lax.erf` has no Pallas TPU lowering (the gate failure
+    behind BENCH_r03's fused_layer=false), so evaluate Abramowitz-Stegun
+    7.1.26 (max abs err 1.5e-7) from supported ops (abs/exp/fma). 1.5e-7 is
+    below the kernel's own f32 parity bar (~1e-5) and ~4 decades below bf16
+    resolution, so the match-agreement gates are unaffected."""
+    s = jnp.sign(x)
+    z = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * z)
+    poly = t * (
+        0.254829592
+        + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))
+    )
+    return s * (1.0 - poly * jnp.exp(-z * z))
+
+
 def _ffn_tail(y, lng, lnb, w1, b1, out_dtype, eps=1e-5):
-    """LayerNorm -> exact-erf GELU -> ffn1, all in f32 on a VMEM value."""
+    """LayerNorm -> erf GELU -> ffn1, all in f32 on a VMEM value."""
     mu = jnp.mean(y, axis=-1, keepdims=True)
     d = y - mu
     var = jnp.mean(d * d, axis=-1, keepdims=True)
     yn = d * jax.lax.rsqrt(var + eps) * lng + lnb
-    g = 0.5 * yn * (1.0 + jax.lax.erf(yn * (2.0 ** -0.5)))
+    g = 0.5 * yn * (1.0 + _erf(yn * (2.0 ** -0.5)))
     return jnp.dot(
         g.astype(out_dtype), w1, preferred_element_type=jnp.float32
     ) + b1

@@ -1,0 +1,107 @@
+"""AOT serving bundles (utils/serving.py + tools/export_serving.py):
+export -> reload without model code -> output parity with model.apply."""
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gluefactory_tpu.models import get_model
+from gluefactory_tpu.utils.serving import load_bundle, save_bundle
+
+TINY = {
+    "name": "two_view_pipeline",
+    "extractor": {
+        "name": "superpoint",
+        "max_num_keypoints": 32,
+        "detection_threshold": 0.0,
+        "channels": [8, 8, 16],
+    },
+    "matcher": {
+        "name": "lightglue",
+        "n_layers": 2,
+        "descriptor_dim": 16,
+        "num_heads": 2,
+        "weights": None,
+    },
+}
+
+
+def _example(batch=2, h=64, w=80):
+    sz = jnp.broadcast_to(jnp.asarray([float(w), float(h)]), (batch, 2))
+    rng = np.random.RandomState(0)
+    return {
+        "view0": {
+            "image": jnp.asarray(rng.rand(batch, h, w, 1), jnp.float32),
+            "image_size": sz,
+        },
+        "view1": {
+            "image": jnp.asarray(rng.rand(batch, h, w, 1), jnp.float32),
+            "image_size": sz,
+        },
+    }
+
+
+def test_bundle_roundtrip(tmp_path):
+    model = get_model("two_view_pipeline").from_conf(TINY)
+    data = _example()
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    ref = model.apply(variables, data, train=False)
+
+    meta = save_bundle(tmp_path / "b", model, variables, data,
+                       platforms=("cpu",), conf=TINY)
+    assert "matches0" in meta["output_keys"]
+    assert (tmp_path / "b" / "model.stablehlo").exists()
+
+    serving = load_bundle(tmp_path / "b")
+    out = serving(data)
+    assert set(out.keys()) == set(ref.keys())
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"]), np.asarray(ref["matches0"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["matching_scores0"], np.float32),
+        np.asarray(ref["matching_scores0"], np.float32),
+        atol=1e-5,
+    )
+    # meta records the input contract for the serving process
+    assert serving.meta["input_spec"]["view0"]["image"]["shape"] == [2, 64, 80, 1]
+
+
+def test_bundle_rejects_wrong_shape(tmp_path):
+    model = get_model("two_view_pipeline").from_conf(TINY)
+    data = _example()
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    save_bundle(tmp_path / "b", model, variables, data, platforms=("cpu",))
+    serving = load_bundle(tmp_path / "b")
+    bad = _example(batch=3)
+    try:
+        serving(bad)
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "fixed-shape bundle must reject a different batch size"
+
+
+def test_export_serving_cli(tmp_path):
+    out = tmp_path / "bundle"
+    conf = json.dumps(TINY)
+    r = subprocess.run(
+        [
+            sys.executable, str(Path(__file__).parent.parent / "tools" / "export_serving.py"),
+            str(out), "--conf", conf, "--batch", "1",
+            "--width", "80", "--height", "64", "--platforms", "cpu",
+        ],
+        capture_output=True, text=True,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "HOME": str(tmp_path)},
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (out / "model.stablehlo").exists()
+    serving = load_bundle(out)
+    pred = serving(_example(batch=1, h=64, w=80))
+    assert pred["matches0"].shape == (1, 32)
