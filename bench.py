@@ -136,16 +136,48 @@ def bench_loftr(floor):
 
 
 def _fused_layer_wins():
-    """On-chip gate for `lightglue.fused_layer` (ops/pallas_lg_layer.py):
-    the one-kernel-per-block path must COMPILE (Mosaic lowering can fail
-    where interpret mode passes) and AGREE with the XLA path on a matcher
-    forward at the flagship token count before the flagship enables it.
-    Runs only on TPU; any failure falls back to the proven config."""
+    """On-chip gate for `lightglue.fused_layer` + `kernel_exit_head`: the
+    Pallas paths must COMPILE (Mosaic lowering can fail where interpret mode
+    passes) and AGREE with the XLA path at the flagship token count before
+    the flagship enables them. The probe runs in a SUBPROCESS with a hard
+    timeout: a hung remote compile (tunnel outage mid-gate) or a Mosaic
+    crash then costs 10 minutes, not the whole bench. Any failure falls
+    back to the proven XLA config."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, __file__, "--gate-probe"],
+            capture_output=True, text=True, timeout=600,
+        )
+        if "FUSED_GATE_OK" in r.stdout:
+            return True
+        print(
+            f"fused_layer gate: no OK marker (rc={r.returncode}): "
+            f"{(r.stderr or r.stdout)[-300:]}", file=sys.stderr,
+        )
+        return False
+    except subprocess.TimeoutExpired:
+        print("fused_layer gate: probe timed out after 600s, staying on "
+              "the XLA path", file=sys.stderr)
+        return False
+    except Exception as e:  # pragma: no cover
+        print(f"fused_layer gate: {type(e).__name__}: {str(e)[:300]}",
+              file=sys.stderr)
+        return False
+
+
+def _gate_probe():
+    """Subprocess body of _fused_layer_wins: exits printing FUSED_GATE_OK
+    iff the fused kernels compile on this backend and match the XLA path."""
     import jax
     import jax.numpy as jnp
 
     from gluefactory_tpu.models import get_model
 
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     try:
         from gluefactory_tpu.ops.attention import _use_pallas
 
@@ -173,25 +205,27 @@ def _fused_layer_wins():
         m_ref = get_model("lightglue").from_conf(base)
         vs = m_ref.init(jax.random.PRNGKey(0), data)
         ref = jax.jit(lambda v, dd: m_ref.apply(v, dd, train=False))(vs, data)
-        m_fus = get_model("lightglue").from_conf({**base, "fused_layer": True})
+        m_fus = get_model("lightglue").from_conf(
+            {**base, "fused_layer": True, "kernel_exit_head": True}
+        )
         out = jax.jit(lambda v, dd: m_fus.apply(v, dd, train=False))(vs, data)
         agree = float(
             jnp.mean(
                 (out["matches0"] == ref["matches0"]).astype(jnp.float32)
             )
         )
-        if agree <= 0.999:  # the A/B gate treats ~1.0 as the bar
+        if agree > 0.999:  # the A/B gate treats ~1.0 as the bar
+            print("FUSED_GATE_OK")
+        else:
             import sys
 
             print(f"fused_layer gate: agreement {agree:.4f} <= 0.999,"
                   " staying on the XLA path", file=sys.stderr)
-        return agree > 0.999
     except Exception as e:  # pragma: no cover - chip-only path
         import sys
 
         print(f"fused_layer gate: {type(e).__name__}: {str(e)[:300]}",
               file=sys.stderr)
-        return False
 
 
 def main():
@@ -228,9 +262,13 @@ def main():
             "merge_cross_proj": True,
             "scan_unroll": 9,
             "fold_out_proj": True,
-            # one-Pallas-kernel-per-block layers, enabled only after the
-            # on-chip compile+exactness gate passes (_fused_layer_wins)
+            # one-Pallas-kernel-per-block layers + fused exit-head kernel,
+            # enabled only after the on-chip compile+exactness gate passes
+            # (_fused_layer_wins). r4 A/B (scripts/bench_ab_fused.py, one
+            # process, erf fix): combo_fold 262.8 -> fused 275.1 ->
+            # fused+kexit 276.6 pairs/s, checksum delta 0.
             "fused_layer": use_fused,
+            "kernel_exit_head": use_fused,
         },
     }
     model = get_model("two_view_pipeline").from_conf(conf)
@@ -279,6 +317,7 @@ def main():
             raise
         use_fused = False
         conf["matcher"]["fused_layer"] = False
+        conf["matcher"]["kernel_exit_head"] = False
         model = get_model("two_view_pipeline").from_conf(conf)
         run_jit = jax.jit(run_all)
         float(jax.device_get(run_jit(variables, imgs0, imgs1)))
@@ -324,4 +363,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--gate-probe" in sys.argv:
+        _gate_probe()
+    else:
+        main()

@@ -1,0 +1,193 @@
+"""On-chip A/B: width-pair packed convolution vs direct 3x3 for SuperPoint's
+64-channel full/half-resolution stages (the largest line in the SP ledger).
+
+Idea (w2d, "width-to-depth with shifted packing"): a 3x3 conv over
+(H, W, 64) uses 64 of 128 MXU lanes on both contraction and output. Packing
+adjacent WIDTH pairs into channels makes it a 3x2 conv over
+(H, W/2+1, 128) -> (H, W/2, 128): all dims 128, at 1.33x the MACs — a net
+win iff XLA's 64-lane conv efficiency is below 75%.
+
+The shift trick makes kernel width 2 (not 3) suffice: pack the INPUT at
+offset -1 (packed col w2 holds original cols 2*w2-1, 2*w2) while the OUTPUT
+packs aligned (2*w2, 2*w2+1). Output phase p needs original cols
+2w2+p-1..2w2+p+1, all inside packed cols {w2, w2+1}: kernel
+K2[dh, t, q*C+ci, p*C+co] = K[dh, 2t+q-p, ci, co] (zero outside 0..2),
+6 of 8 (t, q, p) slots live = 1.33x MACs.
+
+Exactness is asserted on-device before timing (bf16-exact: same dot
+order per output up to conv reassociation).
+
+Usage: timeout 2400 python scripts/bench_conv_packing.py
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+BATCH = 8
+
+
+def pack_offset(x):
+    """(B, H, W, C) -> (B, H, W/2+1, 2C): packed col w2 = (x[2w2-1], x[2w2])."""
+    import jax.numpy as jnp
+
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))  # cols -1..W
+    return xp.reshape(B, H, (W + 2) // 2, 2 * C)
+
+
+def pack_kernel(K):
+    """(3, 3, C, C) -> (3, 2, 2C, 2C) for offset-packed input."""
+    import jax.numpy as jnp
+
+    kh, kw, Ci, Co = K.shape
+    K2 = np.zeros((kh, 2, 2 * Ci, 2 * Co), np.float32)
+    Kn = np.asarray(K, np.float32)
+    for t in range(2):
+        for q in range(2):
+            for p in range(2):
+                dx = 2 * t + q - p
+                if 0 <= dx <= 2:
+                    K2[:, t, q * Ci : (q + 1) * Ci, p * Co : (p + 1) * Co] = Kn[:, dx]
+    return jnp.asarray(K2)
+
+
+def unpack(y, W):
+    """(B, H, W/2, 2C) aligned-packed -> (B, H, W, C)."""
+    B, H, W2, C2 = y.shape
+    C = C2 // 2
+    return y.reshape(B, H, W2, 2, C).reshape(B, H, W, C)
+
+
+def conv_direct(x, K, b):
+    import jax
+
+    y = jax.lax.conv_general_dilated(
+        x, K, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return jax.nn.relu(y + b)
+
+
+def conv_packed(xoff, K2, b2):
+    """Offset-packed input -> aligned-packed output (+bias+relu)."""
+    import jax
+
+    y = jax.lax.conv_general_dilated(
+        xoff, K2, (1, 1), ((1, 1), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.relu(y + b2)
+
+
+def realign(y_aligned):
+    """Aligned-packed (B,H,W/2,2C) -> offset-packed (B,H,W/2+1,2C):
+    xoff[w2] = (phase1[w2-1], phase0[w2])."""
+    import jax.numpy as jnp
+
+    C = y_aligned.shape[-1] // 2
+    ph0 = jnp.pad(y_aligned[..., :C], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    ph1 = jnp.pad(y_aligned[..., C:], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    return jnp.concatenate([ph1, ph0], axis=-1)
+
+
+def timed(name, fn, xs, iters, flops=0.0):
+    import jax
+    import jax.numpy as jnp
+
+    def run(xs):
+        def body(c, x):
+            return c + fn(x), None
+
+        out, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return out
+
+    jfn = jax.jit(run)
+    floor_jit = jax.jit(lambda x: x + 1)
+    float(jax.device_get(jfn(xs)))
+    float(jax.device_get(floor_jit(jnp.float32(0))))
+    floors, times = [], []
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(jax.device_get(floor_jit(jnp.float32(i))))
+        floors.append(time.perf_counter() - t0)
+    floor = float(np.median(floors))
+    for i in range(5):
+        t0 = time.perf_counter()
+        float(jax.device_get(jfn(xs)))
+        times.append(time.perf_counter() - t0)
+    dt = (float(np.min(times)) - floor) / iters
+    util = flops / dt / 197e12 * 100 if flops else 0.0
+    print(f"{name}: {dt * 1e3:.3f} ms/iter" + (f" ({util:.0f}% MXU)" if flops else ""),
+          flush=True)
+    return dt
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+
+    for (H, W, C, iters) in ((480, 640, 64, 24), (240, 320, 64, 48)):
+        K = jnp.asarray(rng.randn(3, 3, C, C) * 0.05, jnp.bfloat16)
+        b = jnp.asarray(rng.randn(C) * 0.1, jnp.bfloat16)
+        K2 = pack_kernel(K).astype(jnp.bfloat16)
+        b2 = jnp.tile(b, 2)
+
+        # exactness on one batch (on-device)
+        x1 = jnp.asarray(rng.rand(2, H, W, C), jnp.bfloat16)
+        ref = conv_direct(x1, K, b)
+        got = unpack(conv_packed(pack_offset(x1), K2, b2), W)
+        err = float(jnp.max(jnp.abs(ref.astype(jnp.float32) - got.astype(jnp.float32))))
+        print(f"[{H}x{W}x{C}] packed-vs-direct max err: {err:.2e}", flush=True)
+        assert err < 1e-2, err
+
+        flops1 = BATCH * H * W * 9 * C * C * 2
+        x = jnp.asarray(rng.rand(iters, BATCH, H, W, C), jnp.bfloat16)
+        xo = jax.jit(jax.vmap(pack_offset))(x)
+
+        timed(f"direct   3x3 {C}->{C} @{W}x{H}", lambda v: jnp.sum(
+            conv_direct(v, K, b).astype(jnp.float32)), x, iters, flops1)
+        timed(f"packed   3x2 {2*C}->{2*C} @{W//2}x{H}", lambda v: jnp.sum(
+            conv_packed(v, K2, b2).astype(jnp.float32)), xo, iters, flops1)
+        # packed including the one-time input packing (for a lone conv)
+        timed(f"packed+pack                 ", lambda v: jnp.sum(
+            conv_packed(pack_offset(v), K2, b2).astype(jnp.float32)), x, iters, flops1)
+        # two chained convs: direct vs packed with mid realign (the stage-1
+        # shape: conv1a 64->64 then conv1b 64->64, pool folded separately)
+        timed(f"direct x2                   ", lambda v: jnp.sum(
+            conv_direct(conv_direct(v, K, b), K, b).astype(jnp.float32)),
+            x, iters, 2 * flops1)
+        timed(f"packed x2 (mid realign)     ", lambda v: jnp.sum(
+            conv_packed(realign(conv_packed(v, K2, b2)), K2, b2).astype(jnp.float32)),
+            xo, iters, 2 * flops1)
+        # packed conv straight into the 2x2 pool: width max = phase max
+        def packed_pool(v):
+            y = conv_packed(v, K2, b2)
+            Cc = C
+            m = jnp.maximum(y[..., :Cc], y[..., Cc:])  # width pairs
+            m = jax.lax.reduce_window(
+                m, -jnp.inf, jax.lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+            )
+            return jnp.sum(m.astype(jnp.float32))
+
+        def direct_pool(v):
+            y = conv_direct(v, K, b)
+            m = jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+            return jnp.sum(m.astype(jnp.float32))
+
+        timed(f"direct+pool                 ", direct_pool, x, iters, flops1)
+        timed(f"packed+pool (phase max)     ", packed_pool, xo, iters, flops1)
+
+
+if __name__ == "__main__":
+    main()

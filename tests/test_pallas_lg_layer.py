@@ -182,3 +182,16 @@ def test_lightglue_adaptive_depth_fused_layer(monkeypatch):
         np.asarray(out["matches0"]) == np.asarray(ref["matches0"])
     )
     assert agree > 0.99
+
+
+def test_erf_approximation_accuracy():
+    """The Mosaic-compatible A&S 7.1.26 erf must stay within 1.5e-7 of
+    lax.erf everywhere the GELU sees (lax.erf itself has no Pallas TPU
+    lowering — the r3 fused_layer=false root cause)."""
+    x = jnp.linspace(-6.0, 6.0, 20001, dtype=jnp.float32)
+    err = jnp.max(jnp.abs(pll._erf(x) - jax.lax.erf(x)))
+    assert float(err) < 1e-6, float(err)  # 1.5e-7 analytic + f32 rounding
+    # exact at 0 and saturates correctly
+    assert float(pll._erf(jnp.float32(0.0))) == 0.0
+    np.testing.assert_allclose(pll._erf(jnp.float32(8.0)), 1.0, atol=1e-7)
+    np.testing.assert_allclose(pll._erf(jnp.float32(-8.0)), -1.0, atol=1e-7)
