@@ -36,27 +36,56 @@ def _spec_of(tree):
     )
 
 
-def export_apply(model, variables, example_data, platforms=("cpu", "tpu")):
+def _batch_sharding(mesh, data_axis):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(data_axis))
+
+
+def export_apply(model, variables, example_data, platforms=("cpu", "tpu"),
+                 mesh=None, data_axis="data"):
     """Export `model.apply(variables, data, train=False)` with the variables
-    baked in as constants. Returns the `jax.export.Exported` object."""
+    baked in as constants. Returns the `jax.export.Exported` object.
+
+    With `mesh`, the artifact is exported as an SPMD program over that mesh:
+    every input leaf is sharded along its leading (batch) dimension on
+    `data_axis` and XLA bakes the collectives in — pod serving from one
+    file (the artifact records the device count; reload it on any mesh of
+    the same size)."""
     import jax
     from jax import export
 
     def serve(data):
         return model.apply(variables, data, train=False)
 
+    if mesh is None:
+        spec = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), example_data
+        )
+        return export.export(jax.jit(serve), platforms=list(platforms))(spec)
+    sh = _batch_sharding(mesh, data_axis)
     spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), example_data
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+        example_data,
     )
-    return export.export(jax.jit(serve), platforms=list(platforms))(spec)
+    fn = jax.jit(
+        serve,
+        in_shardings=(jax.tree.map(lambda _: sh, example_data),),
+        out_shardings=sh,
+    )
+    return export.export(fn, platforms=list(platforms))(spec)
 
 
 def save_bundle(out_dir, model, variables, example_data,
-                platforms=("cpu", "tpu"), conf=None):
+                platforms=("cpu", "tpu"), conf=None, mesh=None,
+                data_axis="data"):
     """Export + write a serving bundle directory. Returns the meta dict."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    exp = export_apply(model, variables, example_data, platforms)
+    exp = export_apply(
+        model, variables, example_data, platforms, mesh=mesh,
+        data_axis=data_axis,
+    )
     (out_dir / ARTIFACT).write_bytes(exp.serialize())
     meta = {
         "input_spec": _spec_of(example_data),
@@ -65,6 +94,8 @@ def save_bundle(out_dir, model, variables, example_data,
         ).keys()),
         "platforms": list(platforms),
         "calling_convention_version": exp.calling_convention_version,
+        "nr_devices": exp.nr_devices,
+        "data_axis": data_axis if mesh is not None else None,
         "conf": dict(conf) if conf is not None else None,
     }
     (out_dir / META).write_text(json.dumps(meta, indent=2, default=str))
@@ -72,9 +103,13 @@ def save_bundle(out_dir, model, variables, example_data,
 
 
 class ServingModel:
-    """A loaded bundle: `pred = serving(data)`. No model code required."""
+    """A loaded bundle: `pred = serving(data)`. No model code required.
 
-    def __init__(self, bundle_dir):
+    Sharded bundles (meta nr_devices > 1) need a `mesh` of the same device
+    count; inputs are committed to the recorded batch sharding before the
+    call (XLA refuses mismatched layouts instead of silently gathering)."""
+
+    def __init__(self, bundle_dir, mesh=None):
         from jax import export
 
         bundle_dir = Path(bundle_dir)
@@ -82,10 +117,27 @@ class ServingModel:
             (bundle_dir / ARTIFACT).read_bytes()
         )
         self.meta = json.loads((bundle_dir / META).read_text())
+        self.mesh = mesh
+        n = self.meta.get("nr_devices", 1)
+        if n > 1:
+            if mesh is None or mesh.size != n:
+                raise ValueError(
+                    f"bundle was exported for {n} devices; pass a mesh of "
+                    f"that size (got {getattr(mesh, 'size', None)})"
+                )
+            self._sharding = _batch_sharding(mesh, self.meta["data_axis"])
+        else:
+            self._sharding = None
 
     def __call__(self, data):
+        import jax
+
+        if self._sharding is not None:
+            data = jax.tree.map(
+                lambda a: jax.device_put(a, self._sharding), data
+            )
         return self.exported.call(data)
 
 
-def load_bundle(bundle_dir) -> ServingModel:
-    return ServingModel(bundle_dir)
+def load_bundle(bundle_dir, mesh=None) -> ServingModel:
+    return ServingModel(bundle_dir, mesh=mesh)

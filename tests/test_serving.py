@@ -105,3 +105,34 @@ def test_export_serving_cli(tmp_path):
     serving = load_bundle(out)
     pred = serving(_example(batch=1, h=64, w=80))
     assert pred["matches0"].shape == (1, 32)
+
+
+def test_sharded_bundle_dp4(tmp_path):
+    """SPMD serving: export over a 4-device DP mesh, reload on a fresh
+    mesh object, outputs match the single-device bundle."""
+    from jax.sharding import Mesh
+
+    model = get_model("two_view_pipeline").from_conf(TINY)
+    data = _example(batch=4)
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    ref = model.apply(variables, data, train=False)
+
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    meta = save_bundle(tmp_path / "b4", model, variables, data,
+                       platforms=("cpu",), mesh=mesh)
+    assert meta["nr_devices"] == 4
+
+    # a sharded bundle demands a matching mesh
+    try:
+        load_bundle(tmp_path / "b4")
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
+
+    mesh2 = Mesh(np.array(jax.devices()[:4]).reshape(4), ("data",))
+    serving = load_bundle(tmp_path / "b4", mesh=mesh2)
+    out = serving(data)
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"]), np.asarray(ref["matches0"])
+    )
