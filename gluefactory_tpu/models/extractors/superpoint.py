@@ -184,6 +184,87 @@ class S2DVGGBlock(nn.Module):
         return jnp.concatenate(parts, axis=-1)
 
 
+def _pack_offset(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> offset-packed (B, H, W/2+1, 2C): packed col w2 holds
+    original cols (2w2-1, 2w2) (zero-padded at the borders)."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return xp.reshape(B, H, (W + 2) // 2, 2 * C)
+
+
+def _realign_packed(y: jnp.ndarray) -> jnp.ndarray:
+    """Aligned-packed (B, H, W/2, 2C) -> offset-packed (B, H, W/2+1, 2C):
+    xoff[w2] = (phase1[w2-1], phase0[w2])."""
+    C = y.shape[-1] // 2
+    ph0 = jnp.pad(y[..., :C], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    ph1 = jnp.pad(y[..., C:], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    return jnp.concatenate([ph1, ph0], axis=-1)
+
+
+def _w2d_kernel(K: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Ci, Co) -> (3, 2, 2Ci, 2Co) over the offset-packed grid:
+    K2[dh, t, (q, ci), (p, co)] = K[dh, 2t+q-p, ci, co], zero outside 0..2
+    (6 of 8 (t, q, p) slots live = 1.33x MACs at full 128 lanes)."""
+    Kw = jnp.pad(K, ((0, 0), (1, 1), (0, 0), (0, 0)))  # width index dx+1
+    ts = []
+    for t in (0, 1):
+        rows = []
+        for q in (0, 1):
+            cols = [Kw[:, 2 * t + q - p + 1] for p in (0, 1)]
+            rows.append(jnp.concatenate(cols, axis=-1))  # (3, Ci, 2Co)
+        ts.append(jnp.concatenate(rows, axis=-2))  # (3, 2Ci, 2Co)
+    return jnp.stack(ts, axis=1)  # (3, 2, 2Ci, 2Co)
+
+
+class W2DVGGBlock(nn.Module):
+    """VGGBlock evaluated in width-pair packed layout — same math, params.
+
+    3x3 convs at 64 channels use half the 128 MXU lanes on contraction AND
+    output; packing adjacent WIDTH pairs into channels makes the same conv
+    a 3x2 conv at 2C channels: full lanes at 1.33x the MACs. The shift
+    trick keeps kernel width at 2 (not 3): input OFFSET-packed (col w2 =
+    original cols 2w2-1, 2w2), output ALIGNED-packed (2w2, 2w2+1); the
+    trailing 2x2 max-pool folds to a phase max + row pool. Derivation and
+    on-chip A/B: scripts/bench_conv_packing.py. Exact (same per-output dot
+    order up to conv reassociation; tests/test_superpoint_w2d.py).
+    """
+
+    out_ch: int
+    in_ch: int
+    norm: str = "none"
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x, packed: bool = True):
+        import jax
+
+        dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+        K, bias = _ConvParams(3, 3, self.in_ch, self.out_ch, name="conv")()
+        if not packed:
+            # standard evaluation with the same parameters (odd widths)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), K.astype(dt), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = nn.relu(y + bias.astype(dt))
+            if self.norm == "affine":
+                s = self.param("post_scale", nn.initializers.ones, (self.out_ch,))
+                b = self.param("post_bias", nn.initializers.zeros, (self.out_ch,))
+                y = y * s.astype(y.dtype) + b.astype(y.dtype)
+            return y
+        K2 = _w2d_kernel(K).astype(dt)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dt), K2, (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H, W/2, 2*out_ch) aligned-packed
+        y = nn.relu(y + jnp.tile(bias, 2).astype(dt))
+        if self.norm == "affine":
+            s = self.param("post_scale", nn.initializers.ones, (self.out_ch,))
+            b = self.param("post_bias", nn.initializers.zeros, (self.out_ch,))
+            y = y * jnp.tile(s, 2).astype(y.dtype) + jnp.tile(b, 2).astype(y.dtype)
+        return y
+
+
 def _pallas_conv_available() -> bool:
     """Fused stage kernel runs on real TPUs (tests force interpret mode)."""
     import jax
@@ -221,6 +302,13 @@ class SuperPoint(BaseModel):
         # option for other XLA versions/hardware. Requires norm in
         # ("none", "affine"); odd feature maps fall back per level.
         "s2d_levels": 0,
+        # leading VGG scales computed in width-pair packed layout (w2d,
+        # W2DVGGBlock: 3x2 conv at 2C channels, 1.33x MACs at full MXU
+        # lanes — the lighter-overhead sibling of s2d). Exact same
+        # math/params; requires norm in ("none", "affine"), 3x3 kernels,
+        # even widths (odd feature maps fall back per level). Mutually
+        # exclusive with s2d_levels.
+        "w2d_levels": 0,
         # leading VGG scales evaluated with the fused Pallas stage kernel
         # (ops/pallas_conv.py: conv+relu+conv+relu+pool in one HBM pass) at
         # inference on TPU. Same parameters; bf16-rounding-level numerics.
@@ -237,14 +325,26 @@ class SuperPoint(BaseModel):
         backbone = []
         # two convs per scale, maxpool between scales (VGG-style)
         n_s2d = int(c.get("s2d_levels", 0) or 0)
+        n_w2d = int(c.get("w2d_levels", 0) or 0)
+        if n_s2d and n_w2d:
+            raise ValueError("s2d_levels and w2d_levels are mutually exclusive")
         if c.norm not in ("none", "affine") or c.get("kernel", 3) != 3:
-            n_s2d = 0  # s2d needs elementwise norms and 3x3 kernels
+            n_s2d = n_w2d = 0  # both need elementwise norms and 3x3 kernels
         # only scales followed by a pool can fold phases back via the pool max
         n_s2d = min(n_s2d, len(chs[:-1]) - 1)
+        n_w2d = min(n_w2d, len(chs[:-1]) - 1)
         self.n_s2d = n_s2d
+        self.n_w2d = n_w2d
         in_chs = [1] + chs[:-1]
         for i, ch in enumerate(chs[:-1]):
-            if i < n_s2d:
+            if i < n_w2d:
+                backbone.append(
+                    (
+                        W2DVGGBlock(ch, in_chs[i], c.norm, c.dtype, name=f"b{i}_0"),
+                        W2DVGGBlock(ch, ch, c.norm, c.dtype, name=f"b{i}_1"),
+                    )
+                )
+            elif i < n_s2d:
                 backbone.append(
                     (
                         S2DVGGBlock(ch, in_chs[i], c.norm, c.dtype, name=f"b{i}_0"),
@@ -314,6 +414,21 @@ class SuperPoint(BaseModel):
                         p1["bias"],
                         block_rows=br,
                     )
+                continue
+            if i < self.n_w2d:
+                if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+                    # width-pair packed scale: offset-pack, two packed
+                    # convs (mid realign), pool = phase max + row pool
+                    y = blk0(_pack_offset(x))
+                    y = blk1(_realign_packed(y))
+                    ch = y.shape[-1] // 2
+                    m = jnp.maximum(y[..., :ch], y[..., ch:])
+                    x = nn.max_pool(m, (2, 1), strides=(2, 1))
+                else:
+                    x = blk0(x, packed=False)
+                    x = blk1(x, packed=False)
+                    if i < len(self.backbone) - 1:
+                        x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
             if (
                 i < self.n_s2d
