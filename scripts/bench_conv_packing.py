@@ -150,8 +150,13 @@ def main():
         assert err < 1e-2, err
 
         flops1 = BATCH * H * W * 9 * C * C * 2
-        x = jnp.asarray(rng.rand(iters, BATCH, H, W, C), jnp.bfloat16)
-        xo = jax.jit(jax.vmap(pack_offset))(x)
+        xn = rng.rand(iters, BATCH, H, W, C).astype(np.float32)
+        x = jnp.asarray(xn, jnp.bfloat16)
+        # offset-pack on the host (numpy) — a remote-compile of the trivial
+        # pad+reshape flaked the AOT helper once; no reason to compile it
+        xon = np.pad(xn, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+        xon = xon.reshape(iters, BATCH, H, (W + 2) // 2, 2 * C)
+        xo = jnp.asarray(xon, jnp.bfloat16)
 
         timed(f"direct   3x3 {C}->{C} @{W}x{H}", lambda v: jnp.sum(
             conv_direct(v, K, b).astype(jnp.float32)), x, iters, flops1)
