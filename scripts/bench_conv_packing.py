@@ -94,20 +94,26 @@ def realign(y_aligned):
     return jnp.concatenate([ph1, ph0], axis=-1)
 
 
-def timed(name, fn, xs, iters, flops=0.0):
+def timed(name, fn, base, iters, flops=0.0):
+    """Scan-checksum timing with the per-iteration input DERIVED ON DEVICE
+    from one base batch (base * (1 + 1e-6*i)): shipping (iters, B, H, W, C)
+    from the host would be gigabytes through the tunnel RPC."""
     import jax
     import jax.numpy as jnp
 
-    def run(xs):
-        def body(c, x):
+    def run(base, seed):
+        def body(c, i):
+            x = base * jnp.asarray(1 + 1e-6 * (i + seed), base.dtype)
             return c + fn(x), None
 
-        out, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        out, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(iters, dtype=jnp.float32)
+        )
         return out
 
     jfn = jax.jit(run)
     floor_jit = jax.jit(lambda x: x + 1)
-    float(jax.device_get(jfn(xs)))
+    float(jax.device_get(jfn(base, jnp.float32(0))))
     float(jax.device_get(floor_jit(jnp.float32(0))))
     floors, times = [], []
     for i in range(5):
@@ -117,7 +123,7 @@ def timed(name, fn, xs, iters, flops=0.0):
     floor = float(np.median(floors))
     for i in range(5):
         t0 = time.perf_counter()
-        float(jax.device_get(jfn(xs)))
+        float(jax.device_get(jfn(base, jnp.float32(i + 1))))
         times.append(time.perf_counter() - t0)
     dt = (float(np.min(times)) - floor) / iters
     util = flops / dt / 197e12 * 100 if flops else 0.0
@@ -150,12 +156,12 @@ def main():
         assert err < 1e-2, err
 
         flops1 = BATCH * H * W * 9 * C * C * 2
-        xn = rng.rand(iters, BATCH, H, W, C).astype(np.float32)
+        xn = rng.rand(BATCH, H, W, C).astype(np.float32)
         x = jnp.asarray(xn, jnp.bfloat16)
         # offset-pack on the host (numpy) — a remote-compile of the trivial
         # pad+reshape flaked the AOT helper once; no reason to compile it
-        xon = np.pad(xn, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
-        xon = xon.reshape(iters, BATCH, H, (W + 2) // 2, 2 * C)
+        xon = np.pad(xn, ((0, 0), (0, 0), (1, 1), (0, 0)))
+        xon = xon.reshape(BATCH, H, (W + 2) // 2, 2 * C)
         xo = jnp.asarray(xon, jnp.bfloat16)
 
         timed(f"direct   3x3 {C}->{C} @{W}x{H}", lambda v: jnp.sum(
