@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ...ops.keypoints import (
     remove_borders,
@@ -192,19 +193,43 @@ def _pack_offset(x: jnp.ndarray) -> jnp.ndarray:
     return xp.reshape(B, H, (W + 2) // 2, 2 * C)
 
 
-def _realign_packed(y: jnp.ndarray) -> jnp.ndarray:
-    """Aligned-packed (B, H, W/2, 2C) -> offset-packed (B, H, W/2+1, 2C):
-    xoff[w2] = (phase1[w2-1], phase0[w2])."""
-    C = y.shape[-1] // 2
-    ph0 = jnp.pad(y[..., :C], ((0, 0), (0, 0), (0, 1), (0, 0)))
-    ph1 = jnp.pad(y[..., C:], ((0, 0), (0, 0), (1, 0), (0, 0)))
-    return jnp.concatenate([ph1, ph0], axis=-1)
+def _unpack_offset(xp: jnp.ndarray) -> jnp.ndarray:
+    """Offset-packed (B, H, W/2+1, 2C) -> (B, H, W, C): original col 2j is
+    phase1 of packed col j, col 2j+1 is phase0 of packed col j+1."""
+    B, H, W2p, C2 = xp.shape
+    C = C2 // 2
+    q0, q1 = xp[..., :C], xp[..., C:]
+    y = jnp.concatenate([q1[:, :, :-1], q0[:, :, 1:]], axis=-1)
+    return y.reshape(B, H, 2 * (W2p - 1), C)
+
+
+def _w2d_pool(y_off: jnp.ndarray) -> jnp.ndarray:
+    """2x2 max-pool of an offset-packed map, emitted OFFSET-PACKED at half
+    resolution (the next stage consumes it directly — no realign anywhere):
+    z[j] = max(q1[j-1], q0[j]) is the width-pooled value y_pooled[j-1], and
+    (z[2u], z[2u+1]) = (yp[2u-1], yp[2u]) is exactly the offset packing.
+    Boundary phantoms are zero because conv_B masks its phantom slots."""
+    C = y_off.shape[-1] // 2
+    q0 = jnp.pad(y_off[..., :C], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    q1 = jnp.pad(y_off[..., C:], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    z = jnp.maximum(q1, q0)  # (B, H, W/2+2, C)
+    B, H, Wz, _ = z.shape
+    z = z.reshape(B, H, Wz // 2, 2 * C)
+    return nn.max_pool(z, (2, 1), strides=(2, 1))
 
 
 def _w2d_kernel(K: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Ci, Co) -> (3, 2, 2Ci, 2Co) over the offset-packed grid:
+    """(3, 3, Ci, Co) -> (3, 2, 2Ci, 2Co) packed-pair kernel:
     K2[dh, t, (q, ci), (p, co)] = K[dh, 2t+q-p, ci, co], zero outside 0..2
-    (6 of 8 (t, q, p) slots live = 1.33x MACs at full 128 lanes)."""
+    (6 of 8 (t, q, p) slots live = 1.33x MACs at full 128 lanes).
+
+    The SAME kernel implements both parities of the alternating chain —
+    only the conv's width padding differs:
+      parity A (offset in -> aligned out): width padding (0, 0);
+      parity B (aligned in -> offset out): width padding (1, 1), and the
+        two phantom output slots (col 0 phase0 = original col -1, last col
+        phase1 = original col W) must be zero-masked to keep SAME-pad
+        semantics for the next conv/pool."""
     Kw = jnp.pad(K, ((0, 0), (1, 1), (0, 0), (0, 0)))  # width index dx+1
     ts = []
     for t in (0, 1):
@@ -221,12 +246,14 @@ class W2DVGGBlock(nn.Module):
 
     3x3 convs at 64 channels use half the 128 MXU lanes on contraction AND
     output; packing adjacent WIDTH pairs into channels makes the same conv
-    a 3x2 conv at 2C channels: full lanes at 1.33x the MACs. The shift
-    trick keeps kernel width at 2 (not 3): input OFFSET-packed (col w2 =
-    original cols 2w2-1, 2w2), output ALIGNED-packed (2w2, 2w2+1); the
-    trailing 2x2 max-pool folds to a phase max + row pool. Derivation and
-    on-chip A/B: scripts/bench_conv_packing.py. Exact (same per-output dot
-    order up to conv reassociation; tests/test_superpoint_w2d.py).
+    a 3x2 conv at 2C channels: full lanes at 1.33x the MACs (on-chip:
+    2.64 -> 1.25 ms at 640x480x64, 35% -> 74% MXU —
+    scripts/bench_conv_packing.py). The two convs of a stage ALTERNATE
+    packing parity (A: offset in/aligned out, B: aligned in/offset out, see
+    `_w2d_kernel`) so no repacking happens between them, and `_w2d_pool`
+    emits the next stage's offset-packed input straight from the pool.
+    Exact (same per-output dot order up to conv reassociation;
+    tests/test_superpoint_w2d.py).
     """
 
     out_ch: int
@@ -235,13 +262,13 @@ class W2DVGGBlock(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x, packed: bool = True):
+    def __call__(self, x, parity: str | None = None):
         import jax
 
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         K, bias = _ConvParams(3, 3, self.in_ch, self.out_ch, name="conv")()
-        if not packed:
-            # standard evaluation with the same parameters (odd widths)
+        if parity is None:
+            # standard evaluation with the same parameters (odd sizes)
             y = jax.lax.conv_general_dilated(
                 x.astype(dt), K.astype(dt), (1, 1), "SAME",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -253,15 +280,25 @@ class W2DVGGBlock(nn.Module):
                 y = y * s.astype(y.dtype) + b.astype(y.dtype)
             return y
         K2 = _w2d_kernel(K).astype(dt)
+        wpad = (0, 0) if parity == "A" else (1, 1)
         y = jax.lax.conv_general_dilated(
-            x.astype(dt), K2, (1, 1), ((1, 1), (0, 0)),
+            x.astype(dt), K2, (1, 1), ((1, 1), wpad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )  # (B, H, W/2, 2*out_ch) aligned-packed
+        )  # A: (B, H, W/2, 2C) aligned; B: (B, H, W/2+1, 2C) offset
         y = nn.relu(y + jnp.tile(bias, 2).astype(dt))
         if self.norm == "affine":
             s = self.param("post_scale", nn.initializers.ones, (self.out_ch,))
             b = self.param("post_bias", nn.initializers.zeros, (self.out_ch,))
             y = y * jnp.tile(s, 2).astype(y.dtype) + jnp.tile(b, 2).astype(y.dtype)
+        if parity == "B":
+            # zero the phantom slots (col 0 phase0 = original col -1, last
+            # col phase1 = original col W) so downstream SAME-pad reads and
+            # the folded pool see exact zeros; one fused multiply
+            Co = self.out_ch
+            mask = np.ones((1, 1, y.shape[2], 2 * Co), np.float32)
+            mask[:, :, 0, :Co] = 0.0
+            mask[:, :, -1, Co:] = 0.0
+            y = y * jnp.asarray(mask, y.dtype)
         return y
 
 
@@ -385,6 +422,7 @@ class SuperPoint(BaseModel):
         )
 
         x = image
+        x_packed = None  # offset-packed running value of the w2d chain
         for i, (blk0, blk1) in enumerate(self.backbone):
             if (
                 use_fused
@@ -416,20 +454,33 @@ class SuperPoint(BaseModel):
                     )
                 continue
             if i < self.n_w2d:
-                if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-                    # width-pair packed scale: offset-pack, two packed
-                    # convs (mid realign), pool = phase max + row pool
-                    y = blk0(_pack_offset(x))
-                    y = blk1(_realign_packed(y))
-                    ch = y.shape[-1] // 2
-                    m = jnp.maximum(y[..., :ch], y[..., ch:])
-                    x = nn.max_pool(m, (2, 1), strides=(2, 1))
-                else:
-                    x = blk0(x, packed=False)
-                    x = blk1(x, packed=False)
-                    if i < len(self.backbone) - 1:
-                        x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                # width-pair packed scale (alternating parity, no repacks
+                # anywhere in the chain): conv_A -> conv_B -> folded pool,
+                # which emits the next stage's offset-packed input
+                W_here = (
+                    2 * (x_packed.shape[2] - 1) if x_packed is not None
+                    else x.shape[2]
+                )
+                H_here = x_packed.shape[1] if x_packed is not None else x.shape[1]
+                if H_here % 2 == 0 and W_here % 4 == 0:
+                    if x_packed is None:
+                        x_packed = _pack_offset(x)
+                    y = blk0(x_packed, parity="A")
+                    y = blk1(y, parity="B")
+                    x_packed = _w2d_pool(y)
+                    continue
+                # incompatible size: unpack (if needed) and run standard
+                if x_packed is not None:
+                    x = _unpack_offset(x_packed)
+                    x_packed = None
+                x = blk0(x)
+                x = blk1(x)
+                if i < len(self.backbone) - 1:
+                    x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
+            if x_packed is not None:
+                x = _unpack_offset(x_packed)
+                x_packed = None
             if (
                 i < self.n_s2d
                 and x.shape[1] % 2 == 0

@@ -84,3 +84,21 @@ def test_w2d_s2d_exclusive():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_w2d_three_levels_deep_channels():
+    """Flagship-shaped: 4 conv levels, w2d chain through all 3 pooled ones."""
+    conf = {**BASE, "channels": [8, 8, 16, 16, 32]}
+    data = _img(64, 96, seed=7)
+    m0 = get_model("superpoint").from_conf(conf)
+    v = m0.init(jax.random.PRNGKey(2), data, train=False)
+    ref = m0.apply(v, data, train=False)
+    m1 = get_model("superpoint").from_conf({**conf, "w2d_levels": 3})
+    out = m1.apply(v, data, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out["descriptors"]), np.asarray(ref["descriptors"]),
+        atol=2e-5,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["keypoints"]), np.asarray(ref["keypoints"])
+    )
