@@ -65,10 +65,12 @@ def _pad_axis(x, n, axis, value=0.0):
     return jnp.pad(x, widths, constant_values=value)
 
 
-def _rot_matrix(head_dim: int, dtype) -> jnp.ndarray:
+def _rot_matrix(head_dim: int, dtype, pair: bool = False) -> jnp.ndarray:
     """(LANE, LANE) matrix P with (x @ P) = [-x2, x1, 0...] for the
     half-split rotary pair layout (`ops/attention.py:apply_cached_rotary_emb`):
-    out lane i < F gets -x[F+i]; out lane F+i gets x[i]; padded lanes 0."""
+    out lane i < F gets -x[F+i]; out lane F+i gets x[i]; padded lanes 0.
+    With `pair` (two heads per slab) the same structure repeats at lane
+    offset head_dim for the second head."""
     if head_dim > LANE:
         raise ValueError(
             f"fused LightGlue layer kernels require head_dim <= {LANE} "
@@ -76,19 +78,59 @@ def _rot_matrix(head_dim: int, dtype) -> jnp.ndarray:
         )
     F = head_dim // 2
     P = np.zeros((LANE, LANE), np.float32)
-    for i in range(F):
-        P[F + i, i] = -1.0
-        P[i, F + i] = 1.0
+    for sub in range(2 if pair else 1):
+        o = sub * head_dim
+        for i in range(F):
+            P[o + F + i, o + i] = -1.0
+            P[o + i, o + F + i] = 1.0
     return jnp.asarray(P, dtype)
 
 
-def _pack_rotary(enc: jnp.ndarray, head_dim: int, dtype) -> jnp.ndarray:
+def _pack_rotary(enc: jnp.ndarray, head_dim: int, dtype,
+                 pair: bool = False) -> jnp.ndarray:
     """enc (B, N, 2, F) with F = head_dim/2 -> (B, N, 2*LANE) bf16/f32:
-    [cos|cos|0pad | sin|sin|0pad] duplicated over both rotation halves."""
+    [cos|cos|0pad | sin|sin|0pad] duplicated over both rotation halves
+    (and over both heads of a slab in `pair` mode — heads share enc)."""
     cos, sin = enc[..., 0, :], enc[..., 1, :]  # (B, N, F)
-    cosf = _pad_axis(jnp.concatenate([cos, cos], -1), LANE, -1)
-    sinf = _pad_axis(jnp.concatenate([sin, sin], -1), LANE, -1)
+    rep = 4 if pair else 2
+    cosf = _pad_axis(jnp.concatenate([cos] * rep, -1), LANE, -1)
+    sinf = _pad_axis(jnp.concatenate([sin] * rep, -1), LANE, -1)
     return jnp.concatenate([cosf, sinf], -1).astype(dtype)
+
+
+def _pair_slabs(w, b, groups: int):
+    """(G*H, D, Dh) per-head slabs -> (G*H/2, D, 2Dh) pair slabs: heads
+    (2g, 2g+1) occupy lanes [0, Dh) and [Dh, 2Dh) of slab g, per group
+    (q/k/v or qk/v). No padding waste: for Dh=64 the pair fills all 128
+    lanes, halving the projection matmuls."""
+    GH, D, Dh = w.shape
+    H = GH // groups
+    w = w.reshape(groups, H // 2, 2, D, Dh).transpose(0, 1, 3, 2, 4)
+    w = w.reshape(groups * (H // 2), D, 2 * Dh)
+    b = b.reshape(groups, H // 2, 2, 1, Dh).transpose(0, 1, 3, 2, 4)
+    b = b.reshape(groups * (H // 2), 1, 2 * Dh)
+    return w, b
+
+
+def _lane_masks(head_dim: int, dtype):
+    """Two (1, LANE) masks selecting each head of a pair slab."""
+    m = np.zeros((2, 1, LANE), np.float32)
+    m[0, 0, :head_dim] = 1.0
+    m[1, 0, head_dim : 2 * head_dim] = 1.0
+    return jnp.asarray(m, dtype)
+
+
+def _place_pair_rows(wf, head_dim: int):
+    """(H, LANE, 2D) folded-FFN slabs with rows [0, Dh) live -> odd heads
+    moved to rows [Dh, 2Dh) so `o_pair @ wf[h]` zeroes the other head's
+    lanes of the pair attention output."""
+    H = wf.shape[0]
+    out = jnp.zeros_like(wf)
+    live = wf[:, :head_dim]
+    for h in range(H):
+        o = (h % 2) * head_dim
+        out = out.at[h, o : o + head_dim].set(live[h])
+    return out
 
 
 def _per_head_qkv(kernel, bias, num_heads: int, qkv_layout: str):
@@ -106,19 +148,17 @@ def _per_head_qkv(kernel, bias, num_heads: int, qkv_layout: str):
     else:  # "dh3": innermost (Dh, 3)
         w = kernel.reshape(D, H, Dh, 3).transpose(3, 1, 0, 2)
         b = bias.reshape(H, Dh, 3).transpose(2, 0, 1)
-    w = _pad_axis(w.reshape(3 * H, D, Dh), LANE, -1)
-    b = _pad_axis(b.reshape(3 * H, 1, Dh), LANE, -1)
-    return w, b
+    return w.reshape(3 * H, D, Dh), b.reshape(3 * H, 1, Dh)
 
 
 def _per_head_proj(kernel, bias, num_heads: int):
-    """nn.Dense(D) params -> (H, D, LANE) / (H, 1, LANE) head slabs
+    """nn.Dense(D) params -> (H, D, Dh) / (H, 1, Dh) head slabs, UNPADDED
     (column order h*Dh + d, the reshape(B, N, H, Dh) convention)."""
     D = kernel.shape[0]
     H = num_heads
     Dh = D // H
-    w = _pad_axis(kernel.reshape(D, H, Dh).transpose(1, 0, 2), LANE, -1)
-    b = _pad_axis(bias.reshape(H, 1, Dh), LANE, -1)
+    w = kernel.reshape(D, H, Dh).transpose(1, 0, 2)
+    b = bias.reshape(H, 1, Dh)
     return w, b
 
 
@@ -167,9 +207,9 @@ def _ffn_tail(y, lng, lnb, w1, b1, out_dtype, eps=1e-5):
 
 
 def _self_kernel(
-    x_ref, enc_ref, negm_ref, rotp_ref, wqkv_ref, bqkv_ref, w0x_ref,
-    wf_ref, bf0_ref, lng_ref, lnb_ref, w1_ref, b1_ref, o_ref,
-    *, num_heads: int, head_dim: int,
+    x_ref, enc_ref, negm_ref, rotp_ref, hmask_ref, wqkv_ref, bqkv_ref,
+    w0x_ref, wf_ref, bf0_ref, lng_ref, lnb_ref, w1_ref, b1_ref, o_ref,
+    *, num_heads: int, head_dim: int, pair: bool,
 ):
     x = x_ref[0]  # (N, D)
     dt = x.dtype
@@ -180,21 +220,15 @@ def _self_kernel(
     scale = head_dim ** -0.5
     H = num_heads
 
-    y = jnp.dot(x, w0x_ref[...], preferred_element_type=jnp.float32)
-    y = y + bf0_ref[...]  # (N, 2D) f32
-    for h in range(H):
-        q = jnp.dot(x, wqkv_ref[h], preferred_element_type=jnp.float32)
-        q = q.astype(dt) + bqkv_ref[h]
-        k = jnp.dot(x, wqkv_ref[H + h], preferred_element_type=jnp.float32)
-        k = k.astype(dt) + bqkv_ref[H + h]
-        v = jnp.dot(x, wqkv_ref[2 * H + h], preferred_element_type=jnp.float32)
-        v = v.astype(dt) + bqkv_ref[2 * H + h]
-        q = q * cosf + jnp.dot(
-            q, P, preferred_element_type=jnp.float32
+    def rot(z):
+        return z * cosf + jnp.dot(
+            z, P, preferred_element_type=jnp.float32
         ).astype(dt) * sinf
-        k = k * cosf + jnp.dot(
-            k, P, preferred_element_type=jnp.float32
-        ).astype(dt) * sinf
+
+    def attend(q, k, v, h):
+        """One head's attention + folded-FFN message accumulation; in pair
+        mode q/k/v hold TWO heads, k is lane-masked to head h and wf_ref[h]
+        has only head h's rows live, so cross-head terms are exactly 0."""
         s = jnp.dot(q * scale, k.T, preferred_element_type=jnp.float32)
         s = s + negm  # masked keys -> <= NEG_INF
         m = jnp.max(s, axis=-1, keepdims=True)
@@ -203,9 +237,39 @@ def _self_kernel(
         l = jnp.sum(p, axis=-1, keepdims=True)
         o = jnp.dot(p.astype(dt), v, preferred_element_type=jnp.float32)
         o = o / jnp.maximum(l, 1e-30)
-        y = y + jnp.dot(
+        return jnp.dot(
             o.astype(dt), wf_ref[h], preferred_element_type=jnp.float32
         )
+
+    y = jnp.dot(x, w0x_ref[...], preferred_element_type=jnp.float32)
+    y = y + bf0_ref[...]  # (N, 2D) f32
+    if pair:
+        G = H // 2
+        for g in range(G):
+            q2 = jnp.dot(x, wqkv_ref[g], preferred_element_type=jnp.float32)
+            q2 = q2.astype(dt) + bqkv_ref[g]
+            k2 = jnp.dot(
+                x, wqkv_ref[G + g], preferred_element_type=jnp.float32
+            ).astype(dt) + bqkv_ref[G + g]
+            v2 = jnp.dot(
+                x, wqkv_ref[2 * G + g], preferred_element_type=jnp.float32
+            ).astype(dt) + bqkv_ref[2 * G + g]
+            q2, k2 = rot(q2), rot(k2)
+            for sub in (0, 1):
+                y = y + attend(
+                    q2, k2 * hmask_ref[sub], v2, 2 * g + sub
+                )
+    else:
+        for h in range(H):
+            q = jnp.dot(x, wqkv_ref[h], preferred_element_type=jnp.float32)
+            q = q.astype(dt) + bqkv_ref[h]
+            k = jnp.dot(
+                x, wqkv_ref[H + h], preferred_element_type=jnp.float32
+            ).astype(dt) + bqkv_ref[H + h]
+            v = jnp.dot(
+                x, wqkv_ref[2 * H + h], preferred_element_type=jnp.float32
+            ).astype(dt) + bqkv_ref[2 * H + h]
+            y = y + attend(rot(q), rot(k), v, h)
     out = _ffn_tail(
         y, lng_ref[...], lnb_ref[...], w1_ref[...], b1_ref[...], dt
     )
@@ -223,30 +287,41 @@ def fused_self_block(x, enc, mask, params, *, num_heads: int,
     """
     B, N, D = x.shape
     dt = x.dtype
+    H = num_heads
+    Dh = D // H
+    pair = H % 2 == 0 and 2 * Dh <= LANE
     Np = _ceil_to(N, LANE)
     x_p = _pad_axis(x, Np, 1)
-    enc_p = _pack_rotary(_pad_axis(enc, Np, 1), D // num_heads, dt)
+    enc_p = _pack_rotary(_pad_axis(enc, Np, 1), Dh, dt, pair=pair)
     if mask is None:
         mask = jnp.ones((B, N), bool)
     negm = jnp.where(_pad_axis(mask, Np, 1, value=False), 0.0, NEG_INF)
     negm = negm.astype(jnp.float32)[:, None, :]  # (B, 1, Np)
 
     w, b = _per_head_qkv(
-        params["Wqkv"]["kernel"], params["Wqkv"]["bias"], num_heads, qkv_layout
+        params["Wqkv"]["kernel"], params["Wqkv"]["bias"], H, qkv_layout
     )
+    if pair:
+        w, b = _pair_slabs(w, b, 3)
+    w = _pad_axis(w, LANE, -1)
+    b = _pad_axis(b, LANE, -1)
+    n_slabs = 3 * (H // 2 if pair else H)
     w0x, wf, bf = _fold_ffn0(
         params["out_proj"]["kernel"], params["out_proj"]["bias"],
-        params["ffn0"]["kernel"], params["ffn0"]["bias"], num_heads,
+        params["ffn0"]["kernel"], params["ffn0"]["bias"], H,
     )
+    if pair:
+        wf = _place_pair_rows(wf, Dh)
     lng = params["ffn_norm"]["scale"].astype(jnp.float32)[None]
     lnb = params["ffn_norm"]["bias"].astype(jnp.float32)[None]
     w1 = params["ffn1"]["kernel"].astype(dt)
     b1 = params["ffn1"]["bias"].astype(jnp.float32)[None]
-    rotp = _rot_matrix(D // num_heads, dt)[None]
+    rotp = _rot_matrix(Dh, dt, pair=pair)[None]
+    hmask = _lane_masks(Dh, dt)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     kernel = functools.partial(
-        _self_kernel, num_heads=num_heads, head_dim=D // num_heads
+        _self_kernel, num_heads=H, head_dim=Dh, pair=pair
     )
     out = pl.pallas_call(
         kernel,
@@ -257,8 +332,9 @@ def fused_self_block(x, enc, mask, params, *, num_heads: int,
             pl.BlockSpec((1, Np, 2 * LANE), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, Np), lambda i: (i, 0, 0)),
             const((1, LANE, LANE)),
-            const((3 * num_heads, D, LANE)),
-            const((3 * num_heads, 1, LANE)),
+            const((2, 1, LANE)),
+            const((n_slabs, D, LANE)),
+            const((n_slabs, 1, LANE)),
             const((D, 2 * D)),
             const((num_heads, LANE, 2 * D)),
             const((1, 2 * D)),
@@ -269,16 +345,16 @@ def fused_self_block(x, enc, mask, params, *, num_heads: int,
         ],
         out_specs=pl.BlockSpec((1, Np, D), lambda i: (i, 0, 0)),
     )(
-        x_p, enc_p, negm, rotp, w.astype(dt), b.astype(dt), w0x.astype(dt),
-        wf.astype(dt), bf, lng, lnb, w1, b1,
+        x_p, enc_p, negm, rotp, hmask, w.astype(dt), b.astype(dt),
+        w0x.astype(dt), wf.astype(dt), bf, lng, lnb, w1, b1,
     )
     return out[:, :N]
 
 
 def _cross_kernel(
-    x0_ref, x1_ref, neg0_ref, neg1_ref, wqv_ref, bqv_ref, w0x_ref, wf_ref,
-    bf0_ref, lng_ref, lnb_ref, w1_ref, b1_ref, o0_ref, o1_ref,
-    *, num_heads: int, head_dim: int,
+    x0_ref, x1_ref, neg0_ref, neg1_ref, hmask_ref, wqv_ref, bqv_ref,
+    w0x_ref, wf_ref, bf0_ref, lng_ref, lnb_ref, w1_ref, b1_ref,
+    o0_ref, o1_ref, *, num_heads: int, head_dim: int, pair: bool,
 ):
     x0 = x0_ref[0]  # (N, D)
     x1 = x1_ref[0]  # (M, D)
@@ -292,15 +368,11 @@ def _cross_kernel(
     y0 = y0 + bf0_ref[...]
     y1 = jnp.dot(x1, w0x_ref[...], preferred_element_type=jnp.float32)
     y1 = y1 + bf0_ref[...]
-    for h in range(H):
-        qk0 = jnp.dot(x0, wqv_ref[h], preferred_element_type=jnp.float32)
-        qk0 = (qk0.astype(dt) + bqv_ref[h]) * scale
-        qk1 = jnp.dot(x1, wqv_ref[h], preferred_element_type=jnp.float32)
-        qk1 = (qk1.astype(dt) + bqv_ref[h]) * scale
-        v0 = jnp.dot(x0, wqv_ref[H + h], preferred_element_type=jnp.float32)
-        v0 = v0.astype(dt) + bqv_ref[H + h]
-        v1 = jnp.dot(x1, wqv_ref[H + h], preferred_element_type=jnp.float32)
-        v1 = v1.astype(dt) + bqv_ref[H + h]
+
+    def attend_both(qk0, qk1, v0, v1, h, y0, y1):
+        """Shared-similarity bidirectional attention for head h; in pair
+        mode qk1 arrives lane-masked to head h and wf_ref[h] keeps only
+        head h's rows, so the other head's lanes contribute exactly 0."""
         s = jnp.dot(qk0, qk1.T, preferred_element_type=jnp.float32)  # (N, M)
         # 0 <- 1 (rows attend over columns), masked by view-1 validity
         s0 = s + neg1
@@ -327,6 +399,38 @@ def _cross_kernel(
         y1 = y1 + jnp.dot(
             o1.astype(dt), wf_ref[h], preferred_element_type=jnp.float32
         )
+        return y0, y1
+
+    if pair:
+        G = H // 2
+        for g in range(G):
+            qk0 = jnp.dot(x0, wqv_ref[g], preferred_element_type=jnp.float32)
+            qk0 = (qk0.astype(dt) + bqv_ref[g]) * scale
+            qk1 = jnp.dot(x1, wqv_ref[g], preferred_element_type=jnp.float32)
+            qk1 = (qk1.astype(dt) + bqv_ref[g]) * scale
+            v0 = jnp.dot(
+                x0, wqv_ref[G + g], preferred_element_type=jnp.float32
+            ).astype(dt) + bqv_ref[G + g]
+            v1 = jnp.dot(
+                x1, wqv_ref[G + g], preferred_element_type=jnp.float32
+            ).astype(dt) + bqv_ref[G + g]
+            for sub in (0, 1):
+                y0, y1 = attend_both(
+                    qk0, qk1 * hmask_ref[sub], v0, v1, 2 * g + sub, y0, y1
+                )
+    else:
+        for h in range(H):
+            qk0 = jnp.dot(x0, wqv_ref[h], preferred_element_type=jnp.float32)
+            qk0 = (qk0.astype(dt) + bqv_ref[h]) * scale
+            qk1 = jnp.dot(x1, wqv_ref[h], preferred_element_type=jnp.float32)
+            qk1 = (qk1.astype(dt) + bqv_ref[h]) * scale
+            v0 = jnp.dot(
+                x0, wqv_ref[H + h], preferred_element_type=jnp.float32
+            ).astype(dt) + bqv_ref[H + h]
+            v1 = jnp.dot(
+                x1, wqv_ref[H + h], preferred_element_type=jnp.float32
+            ).astype(dt) + bqv_ref[H + h]
+            y0, y1 = attend_both(qk0, qk1, v0, v1, h, y0, y1)
     lng, lnb = lng_ref[...], lnb_ref[...]
     w1, b1 = w1_ref[...], b1_ref[...]
     out0 = _ffn_tail(y0, lng, lnb, w1, b1, dt)
@@ -347,6 +451,9 @@ def fused_cross_block(x0, x1, mask0, mask1, params, *, num_heads: int):
     B, N, D = x0.shape
     M = x1.shape[1]
     dt = x0.dtype
+    H = num_heads
+    Dh = D // H
+    pair = H % 2 == 0 and 2 * Dh <= LANE
     Np, Mp = _ceil_to(N, LANE), _ceil_to(M, LANE)
     x0_p, x1_p = _pad_axis(x0, Np, 1), _pad_axis(x1, Mp, 1)
     if mask0 is None:
@@ -359,25 +466,32 @@ def fused_cross_block(x0, x1, mask0, mask1, params, *, num_heads: int):
     neg1 = neg1.astype(jnp.float32)[:, None, :]  # (B, 1, Mp)
 
     wqk, bqk = _per_head_proj(
-        params["to_qk"]["kernel"], params["to_qk"]["bias"], num_heads
+        params["to_qk"]["kernel"], params["to_qk"]["bias"], H
     )
     wv, bv = _per_head_proj(
-        params["to_v"]["kernel"], params["to_v"]["bias"], num_heads
+        params["to_v"]["kernel"], params["to_v"]["bias"], H
     )
-    wqv = jnp.concatenate([wqk, wv], 0)  # (2H, D, LANE)
-    bqv = jnp.concatenate([bqk, bv], 0)
+    if pair:
+        wqk, bqk = _pair_slabs(wqk, bqk, 1)
+        wv, bv = _pair_slabs(wv, bv, 1)
+    wqv = _pad_axis(jnp.concatenate([wqk, wv], 0), LANE, -1)
+    bqv = _pad_axis(jnp.concatenate([bqk, bv], 0), LANE, -1)
+    n_slabs = 2 * (H // 2 if pair else H)
     w0x, wf, bf = _fold_ffn0(
         params["out_proj"]["kernel"], params["out_proj"]["bias"],
-        params["ffn0"]["kernel"], params["ffn0"]["bias"], num_heads,
+        params["ffn0"]["kernel"], params["ffn0"]["bias"], H,
     )
+    if pair:
+        wf = _place_pair_rows(wf, Dh)
     lng = params["ffn_norm"]["scale"].astype(jnp.float32)[None]
     lnb = params["ffn_norm"]["bias"].astype(jnp.float32)[None]
     w1 = params["ffn1"]["kernel"].astype(dt)
     b1 = params["ffn1"]["bias"].astype(jnp.float32)[None]
+    hmask = _lane_masks(Dh, dt)
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape))
     kernel = functools.partial(
-        _cross_kernel, num_heads=num_heads, head_dim=D // num_heads
+        _cross_kernel, num_heads=H, head_dim=Dh, pair=pair
     )
     o0, o1 = pl.pallas_call(
         kernel,
@@ -391,8 +505,9 @@ def fused_cross_block(x0, x1, mask0, mask1, params, *, num_heads: int):
             pl.BlockSpec((1, Mp, D), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, Np, 1), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 1, Mp), lambda i: (i, 0, 0)),
-            const((2 * num_heads, D, LANE)),
-            const((2 * num_heads, 1, LANE)),
+            const((2, 1, LANE)),
+            const((n_slabs, D, LANE)),
+            const((n_slabs, 1, LANE)),
             const((D, 2 * D)),
             const((num_heads, LANE, 2 * D)),
             const((1, 2 * D)),
@@ -406,7 +521,7 @@ def fused_cross_block(x0, x1, mask0, mask1, params, *, num_heads: int):
             pl.BlockSpec((1, Mp, D), lambda i: (i, 0, 0)),
         ),
     )(
-        x0_p, x1_p, neg0, neg1, wqv.astype(dt), bqv.astype(dt),
+        x0_p, x1_p, neg0, neg1, hmask, wqv.astype(dt), bqv.astype(dt),
         w0x.astype(dt), wf.astype(dt), bf, lng, lnb, w1, b1,
     )
     return o0[:, :N], o1[:, :M]

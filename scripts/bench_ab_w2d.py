@@ -103,9 +103,9 @@ def main():
     fused = {"fused_layer": True, "kernel_exit_head": True}
     variants = {
         "r4_winner": ({}, fused),
-        "w2d1": ({"w2d_levels": 1}, fused),
-        "w2d2": ({"w2d_levels": 2}, fused),
         "w2d3": ({"w2d_levels": 3}, fused),
+        "w2d2": ({"w2d_levels": 2}, fused),
+        "w2d1": ({"w2d_levels": 1}, fused),
     }
     out = {}
     ref = None

@@ -195,3 +195,30 @@ def test_erf_approximation_accuracy():
     assert float(pll._erf(jnp.float32(0.0))) == 0.0
     np.testing.assert_allclose(pll._erf(jnp.float32(8.0)), 1.0, atol=1e-7)
     np.testing.assert_allclose(pll._erf(jnp.float32(-8.0)), -1.0, atol=1e-7)
+
+
+def test_fused_blocks_odd_heads_unpaired():
+    """H=1 exercises the non-pair (padded per-head slab) path for both
+    kernels: pair packing requires an even head count."""
+    rng = np.random.RandomState(11)
+    Dl, Hl = 64, 1
+    x = jnp.asarray(rng.randn(2 * B, 128, Dl) * 0.5, jnp.float32)
+    enc = jnp.asarray(rng.randn(2 * B, 128, 2, Dl // 2 // Hl), jnp.float32)
+    mask = jnp.asarray(rng.rand(2 * B, 128) > 0.2)
+    blk = SelfBlock(Dl, Hl, "float32")
+    vs = blk.init(jax.random.PRNGKey(0), x, enc, mask)
+    ref = blk.apply(vs, x, enc, mask)
+    out = pll.fused_self_block(
+        x, enc, mask, vs["params"], num_heads=Hl, qkv_layout="dh3"
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+    cblk = CrossBlock(Dl, Hl, "float32")
+    cvs = cblk.init(jax.random.PRNGKey(1), x, mask[:B], mask[B:])
+    cref = cblk.apply(cvs, x, mask[:B], mask[B:])
+    y0, y1 = pll.fused_cross_block(
+        x[:B], x[B:], mask[:B], mask[B:], cvs["params"], num_heads=Hl
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([y0, y1], 0)), np.asarray(cref), atol=2e-4
+    )
