@@ -42,6 +42,63 @@ def _batch_sharding(mesh, data_axis):
     return NamedSharding(mesh, PartitionSpec(data_axis))
 
 
+def quantize_variables(variables, dtype="int8", min_size=4096):
+    """Per-output-channel symmetric weight quantization for serving: each
+    large 2D+ kernel leaf is stored as (int8, f32 scale per last-dim
+    column) and dequantized to the compute dtype at trace time — the baked
+    artifact shrinks ~4x vs f32 with XLA fusing the dequant into the
+    consumer. Small leaves (biases, norms) stay exact. Returns a pytree of
+    the same structure with `_Quantized` leaves understood by
+    `export_apply` (it maps them back through `dequantize_tree`)."""
+    import jax.numpy as jnp
+
+    assert dtype == "int8"
+
+    def q(leaf):
+        if leaf.ndim < 2 or leaf.size < min_size or not jnp.issubdtype(
+            leaf.dtype, jnp.floating
+        ):
+            return leaf
+        axes = tuple(range(leaf.ndim - 1))
+        scale = jnp.max(jnp.abs(leaf.astype(jnp.float32)), axis=axes,
+                        keepdims=True)
+        scale = jnp.maximum(scale, 1e-12) / 127.0
+        ints = jnp.clip(
+            jnp.round(leaf.astype(jnp.float32) / scale), -127, 127
+        ).astype(jnp.int8)
+        return _Quantized(ints, scale.astype(jnp.float32), str(leaf.dtype))
+
+    import jax
+
+    return jax.tree.map(q, variables)
+
+
+class _Quantized:
+    """A quantized weight leaf: int8 values + per-column f32 scales."""
+
+    def __init__(self, ints, scale, orig_dtype):
+        self.ints = ints
+        self.scale = scale
+        self.orig_dtype = orig_dtype
+
+    def dequantize(self):
+        import jax.numpy as jnp
+
+        return (self.ints.astype(jnp.float32) * self.scale).astype(
+            jnp.dtype(self.orig_dtype)
+        )
+
+
+def dequantize_tree(variables):
+    import jax
+
+    return jax.tree.map(
+        lambda a: a.dequantize() if isinstance(a, _Quantized) else a,
+        variables,
+        is_leaf=lambda a: isinstance(a, _Quantized),
+    )
+
+
 def export_apply(model, variables, example_data, platforms=("cpu", "tpu"),
                  mesh=None, data_axis="data"):
     """Export `model.apply(variables, data, train=False)` with the variables
@@ -56,7 +113,7 @@ def export_apply(model, variables, example_data, platforms=("cpu", "tpu"),
     from jax import export
 
     def serve(data):
-        return model.apply(variables, data, train=False)
+        return model.apply(dequantize_tree(variables), data, train=False)
 
     if mesh is None:
         spec = jax.tree.map(
@@ -78,10 +135,14 @@ def export_apply(model, variables, example_data, platforms=("cpu", "tpu"),
 
 def save_bundle(out_dir, model, variables, example_data,
                 platforms=("cpu", "tpu"), conf=None, mesh=None,
-                data_axis="data"):
-    """Export + write a serving bundle directory. Returns the meta dict."""
+                data_axis="data", quantize=None):
+    """Export + write a serving bundle directory. Returns the meta dict.
+    `quantize="int8"` stores large weights as per-channel int8 constants
+    (dequantized in-graph; ~4x smaller artifact)."""
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+    if quantize is not None:
+        variables = quantize_variables(variables, quantize)
     exp = export_apply(
         model, variables, example_data, platforms, mesh=mesh,
         data_axis=data_axis,
@@ -96,6 +157,7 @@ def save_bundle(out_dir, model, variables, example_data,
         "calling_convention_version": exp.calling_convention_version,
         "nr_devices": exp.nr_devices,
         "data_axis": data_axis if mesh is not None else None,
+        "quantize": quantize,
         "conf": dict(conf) if conf is not None else None,
     }
     (out_dir / META).write_text(json.dumps(meta, indent=2, default=str))

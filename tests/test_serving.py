@@ -136,3 +136,30 @@ def test_sharded_bundle_dp4(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(out["matches0"]), np.asarray(ref["matches0"])
     )
+
+
+def test_quantized_bundle_int8(tmp_path):
+    """int8 weight quantization: smaller artifact, high match agreement.
+    Needs weight bytes >> program bytes, so a wider matcher than TINY."""
+    conf = {
+        **TINY,
+        "matcher": {**TINY["matcher"], "descriptor_dim": 128, "num_heads": 4},
+    }
+    model = get_model("two_view_pipeline").from_conf(conf)
+    data = _example()
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    ref = model.apply(variables, data, train=False)
+
+    save_bundle(tmp_path / "f32", model, variables, data, platforms=("cpu",))
+    meta = save_bundle(tmp_path / "q8", model, variables, data,
+                       platforms=("cpu",), quantize="int8")
+    assert meta["quantize"] == "int8"
+    s_f32 = (tmp_path / "f32" / "model.stablehlo").stat().st_size
+    s_q8 = (tmp_path / "q8" / "model.stablehlo").stat().st_size
+    assert s_q8 < 0.5 * s_f32, (s_q8, s_f32)
+
+    out = load_bundle(tmp_path / "q8")(data)
+    agree = float(
+        np.mean(np.asarray(out["matches0"]) == np.asarray(ref["matches0"]))
+    )
+    assert agree > 0.9, agree

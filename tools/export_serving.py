@@ -44,6 +44,10 @@ def main():
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=480)
     p.add_argument("--platforms", type=str, default="cpu,tpu")
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=[None, "int8"],
+        help="store large weights as per-channel int8 (~4x smaller artifact)",
+    )
     args = p.parse_args()
     if (args.experiment is None) == (args.conf is None):
         p.error("exactly one of --experiment / --conf is required")
@@ -72,6 +76,7 @@ def main():
     meta = save_bundle(
         args.output, model, variables, data,
         platforms=tuple(args.platforms.split(",")), conf=conf,
+        quantize=args.quantize,
     )
     size = (args.output / "model.stablehlo").stat().st_size
     print(
