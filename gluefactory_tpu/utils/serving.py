@@ -203,3 +203,59 @@ class ServingModel:
 
 def load_bundle(bundle_dir, mesh=None) -> ServingModel:
     return ServingModel(bundle_dir, mesh=mesh)
+
+
+def save_bucketed(out_dir, model, variables, make_example, batch_sizes,
+                  **kw):
+    """Export one bundle per batch bucket (TPU serving wants one compiled
+    program per static shape, not shape polymorphism): `make_example(b)`
+    builds the example pytree for batch b. Returns the bucket list."""
+    out_dir = Path(out_dir)
+    sizes = sorted(set(int(b) for b in batch_sizes))
+    for b in sizes:
+        save_bundle(out_dir / f"b{b}", model, variables, make_example(b),
+                    **kw)
+    (out_dir / "buckets.json").write_text(json.dumps({"batch_sizes": sizes}))
+    return sizes
+
+
+class BucketedServing:
+    """Dispatches a request to the smallest bucket that fits, zero-padding
+    the batch dimension and slicing the outputs back. Requests larger than
+    the biggest bucket are rejected (split upstream — silent chunking
+    would hide a latency cliff)."""
+
+    def __init__(self, bundle_dir, mesh=None):
+        bundle_dir = Path(bundle_dir)
+        sizes = json.loads((bundle_dir / "buckets.json").read_text())[
+            "batch_sizes"
+        ]
+        self.sizes = sizes
+        self.models = {
+            b: ServingModel(bundle_dir / f"b{b}", mesh=mesh) for b in sizes
+        }
+
+    def __call__(self, data):
+        import jax
+        import jax.numpy as jnp
+
+        leaves = jax.tree.leaves(data)
+        n = int(leaves[0].shape[0])
+        fits = [b for b in self.sizes if b >= n]
+        if not fits:
+            raise ValueError(
+                f"batch {n} exceeds the largest serving bucket "
+                f"{self.sizes[-1]}; split the request upstream"
+            )
+        b = fits[0]
+        if b != n:
+            data = jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((b - n,) + a.shape[1:], a.dtype)], 0
+                ),
+                data,
+            )
+        out = self.models[b](data)
+        if b != n:
+            out = jax.tree.map(lambda a: a[:n], out)
+        return out

@@ -163,3 +163,36 @@ def test_quantized_bundle_int8(tmp_path):
         np.mean(np.asarray(out["matches0"]) == np.asarray(ref["matches0"]))
     )
     assert agree > 0.9, agree
+
+
+def test_bucketed_serving(tmp_path):
+    """Bucket dispatch: pad to the smallest fitting bucket, slice back,
+    reject oversize."""
+    from gluefactory_tpu.utils.serving import BucketedServing, save_bucketed
+
+    model = get_model("two_view_pipeline").from_conf(TINY)
+    d4 = _example(batch=4)
+    variables = model.init(jax.random.PRNGKey(0), d4, train=False)
+
+    sizes = save_bucketed(
+        tmp_path / "bk", model, variables,
+        lambda b: _example(batch=b), [2, 4], platforms=("cpu",),
+    )
+    assert sizes == [2, 4]
+    serving = BucketedServing(tmp_path / "bk")
+
+    d3 = _example(batch=3)
+    ref = model.apply(variables, d3, train=False)
+    out = serving(d3)  # pads 3 -> bucket 4, slices back
+    assert out["matches0"].shape[0] == 3
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"]), np.asarray(ref["matches0"])
+    )
+    out2 = serving(_example(batch=2))  # exact bucket
+    assert out2["matches0"].shape[0] == 2
+    try:
+        serving(_example(batch=5))
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
