@@ -102,3 +102,20 @@ def test_w2d_three_levels_deep_channels():
     np.testing.assert_array_equal(
         np.asarray(out["keypoints"]), np.asarray(ref["keypoints"])
     )
+
+
+def test_w2d_bf16_close():
+    """bf16 packed path vs bf16 direct: same taps per output, only conv
+    reassociation differs — descriptors should agree to bf16 rounding."""
+    data = _img(64, 96, seed=9)
+    conf = {**BASE, "dtype": "bfloat16"}
+    m0 = get_model("superpoint").from_conf(conf)
+    v = m0.init(jax.random.PRNGKey(0), data, train=False)
+    ref = m0.apply(v, data, train=False)
+    m1 = get_model("superpoint").from_conf({**conf, "w2d_levels": 2})
+    out = m1.apply(v, data, train=False)
+    # descriptors are L2-normalized f32 at the end; bf16 conv chains drift
+    # by a few ulps -> compare loosely but meaningfully
+    d_ref = np.asarray(ref["descriptors"], np.float32)
+    d_out = np.asarray(out["descriptors"], np.float32)
+    assert np.median(np.abs(d_ref - d_out)) < 2e-3
