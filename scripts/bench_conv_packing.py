@@ -200,5 +200,46 @@ def main():
         timed(f"packed+pool (phase max)     ", packed_pool, xo, iters, flops1)
 
 
+
+def diag_stage0():
+    """Why does w2d_levels=1 regress the pipeline? Time stage-0 pieces:
+    the 1-channel packed conv0_0 is the suspect (contraction 12 at 128-out
+    vs direct's im2col-friendly 1-channel form).
+
+    Usage: timeout 1800 python -c "import sys; sys.path.insert(0,'scripts');
+    from bench_conv_packing import diag_stage0; diag_stage0()"
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    H, W, C = 480, 640, 64
+    img = jnp.asarray(rng.rand(BATCH, H, W, 1), jnp.bfloat16)
+    K0 = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.bfloat16)
+    b0 = jnp.asarray(rng.randn(C) * 0.1, jnp.bfloat16)
+    K0p = pack_kernel(K0).astype(jnp.bfloat16)  # (3, 2, 2, 2C)
+    b0p = jnp.tile(b0, 2)
+    flops0 = BATCH * H * W * 9 * 1 * C * 2
+
+    timed("conv0_0 direct 1->64        ", lambda v: jnp.sum(
+        conv_direct(v, K0, b0).astype(jnp.float32)), img, 24, flops0)
+    imgp = jnp.asarray(
+        np.pad(np.asarray(img, np.float32), ((0, 0), (0, 0), (1, 1), (0, 0)))
+        .reshape(BATCH, H, (W + 2) // 2, 2), jnp.bfloat16)
+    timed("conv0_0 packed (3,2,2,128)  ", lambda v: jnp.sum(
+        conv_packed(v, K0p, b0p).astype(jnp.float32)), imgp, 24, flops0)
+    # direct conv0_0 then pack its output (pack once per image instead)
+    timed("conv0_0 direct + pack output", lambda v: jnp.sum(
+        pack_offset(conv_direct(v, K0, b0)).astype(jnp.float32)), img, 24,
+        flops0)
+    # unpack cost at stage-1 input size
+    yoff = jnp.asarray(rng.rand(BATCH, H // 2, W // 4 + 1, 2 * C), jnp.bfloat16)
+    timed("unpack @240x(161)x128       ", lambda v: jnp.sum(
+        unpack(v[:, :, :-1], W // 2).astype(jnp.float32)), yoff, 48)
+
+
 if __name__ == "__main__":
     main()
