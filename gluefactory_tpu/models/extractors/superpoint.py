@@ -464,15 +464,8 @@ class SuperPoint(BaseModel):
                 H_here = x_packed.shape[1] if x_packed is not None else x.shape[1]
                 if H_here % 2 == 0 and W_here % 4 == 0:
                     if x_packed is None:
-                        # chain entry: run the first conv in its native
-                        # form (the 1-channel packed conv0_0 measured 1%
-                        # MXU — CLAUDE.md r4) and ALIGNED-pack its output,
-                        # which is a free reshape; conv_B consumes aligned
-                        y0 = blk0(x)
-                        Bh, Hh, Wh, Ch = y0.shape
-                        y = y0.reshape(Bh, Hh, Wh // 2, 2 * Ch)
-                    else:
-                        y = blk0(x_packed, parity="A")
+                        x_packed = _pack_offset(x)
+                    y = blk0(x_packed, parity="A")
                     y = blk1(y, parity="B")
                     x_packed = _w2d_pool(y)
                     continue

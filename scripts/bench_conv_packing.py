@@ -241,5 +241,115 @@ def diag_stage0():
         unpack(v[:, :, :-1], W // 2).astype(jnp.float32)), yoff, 48)
 
 
+def diag_stage_chain():
+    """Time FULL production stage chains (conv+conv+pool composed exactly as
+    superpoint.py does, incl. the parity-B phantom mask and the folded pool)
+    to localize the w2d pipeline regression at stage granularity — the
+    isolated-op numbers (diag_stage0, main) say packed should win, yet the
+    full flagship measured 3.6 ms/batch SLOWER with w2d1.
+
+    Usage: timeout 1800 python -c "import sys; sys.path.insert(0,'scripts');
+    from bench_conv_packing import diag_stage_chain; diag_stage_chain()"
+    """
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.models.extractors.superpoint import (
+        _pack_offset, _unpack_offset, _w2d_kernel, _w2d_pool,
+    )
+    from flax import linen as nn
+
+    rng = np.random.RandomState(0)
+
+    def conv_A(x_off, K2, b):
+        y = jax.lax.conv_general_dilated(
+            x_off, K2, (1, 1), ((1, 1), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return jax.nn.relu(y + jnp.tile(b, 2))
+
+    def conv_B(x_al, K2, b):
+        y = jax.lax.conv_general_dilated(
+            x_al, K2, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y = jax.nn.relu(y + jnp.tile(b, 2))
+        Co = y.shape[-1] // 2
+        mask = np.ones((1, 1, y.shape[2], 2 * Co), np.float32)
+        mask[:, :, 0, :Co] = 0.0
+        mask[:, :, -1, Co:] = 0.0
+        return y * jnp.asarray(mask, y.dtype)
+
+    # ---- stage 0: 1 -> 64 -> 64 + pool @640x480 ----
+    H, W, C = 480, 640, 64
+    img = jnp.asarray(rng.rand(BATCH, H, W, 1), jnp.bfloat16)
+    K0 = jnp.asarray(rng.randn(3, 3, 1, C) * 0.3, jnp.bfloat16)
+    b0 = jnp.asarray(rng.randn(C) * 0.1, jnp.bfloat16)
+    K1 = jnp.asarray(rng.randn(3, 3, C, C) * 0.05, jnp.bfloat16)
+    b1 = jnp.asarray(rng.randn(C) * 0.1, jnp.bfloat16)
+    K0p = _w2d_kernel(K0).astype(jnp.bfloat16)
+    K1p = _w2d_kernel(K1).astype(jnp.bfloat16)
+    flops = BATCH * H * W * 9 * (1 + C) * C * 2
+
+    def s0_direct(v):
+        y = conv_direct(v, K0, b0)
+        y = conv_direct(y, K1, b1)
+        m = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return jnp.sum(m.astype(jnp.float32))
+
+    def s0_packed(v):
+        y = conv_A(_pack_offset(v), K0p, b0)
+        y = conv_B(y, K1p, b1)
+        return jnp.sum(_w2d_pool(y).astype(jnp.float32))
+
+    def s0_native_entry(v):
+        y0 = conv_direct(v, K0, b0)
+        B_, H_, W_, C_ = y0.shape
+        y = y0.reshape(B_, H_, W_ // 2, 2 * C_)
+        y = conv_B(y, K1p, b1)
+        return jnp.sum(_w2d_pool(y).astype(jnp.float32))
+
+    timed("s0 direct  (c+c+pool)       ", s0_direct, img, 24, flops)
+    timed("s0 packed  (pack+A+B+fpool) ", s0_packed, img, 24, flops)
+    timed("s0 native entry (c+B+fpool) ", s0_native_entry, img, 24, flops)
+
+    # ---- stage 1: 64 -> 64 -> 64 + pool @320x240, packed input arrives
+    # offset-packed from stage 0 (chain) vs direct ----
+    H2, W2 = 240, 320
+    x1 = jnp.asarray(rng.rand(BATCH, H2, W2, C), jnp.bfloat16)
+    x1off = jnp.asarray(np.asarray(_pack_offset(x1), np.float32), jnp.bfloat16)
+    flops2 = BATCH * H2 * W2 * 9 * 2 * C * C * 2
+
+    def s1_direct(v):
+        y = conv_direct(conv_direct(v, K1, b1), K1, b1)
+        m = jax.lax.reduce_window(
+            y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return jnp.sum(m.astype(jnp.float32))
+
+    def s1_packed(v):
+        y = conv_B(conv_A(v, K1p, b1), K1p, b1)
+        return jnp.sum(_w2d_pool(y).astype(jnp.float32))
+
+    def s1_packed_unpack(v):
+        # chain exit cost: stage 1 packed, then unpack for a standard stage 2
+        y = conv_B(conv_A(v, K1p, b1), K1p, b1)
+        return jnp.sum(_unpack_offset(_w2d_pool(y)).astype(jnp.float32))
+
+    timed("s1 direct  (c+c+pool)       ", s1_direct, x1, 48, flops2)
+    timed("s1 packed  (A+B+fpool)      ", s1_packed, x1off, 48, flops2)
+    timed("s1 packed + unpack exit     ", s1_packed_unpack, x1off, 48, flops2)
+
+
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if "--chain" in _sys.argv:
+        diag_stage_chain()
+    elif "--stage0" in _sys.argv:
+        diag_stage0()
+    else:
+        main()
