@@ -343,6 +343,81 @@ def diag_stage_chain():
     timed("s1 packed  (A+B+fpool)      ", s1_packed, x1off, 48, flops2)
     timed("s1 packed + unpack exit     ", s1_packed_unpack, x1off, 48, flops2)
 
+    # ---- layout-hypothesis variants: is the chain loss XLA relayouts
+    # around the odd tile-hostile widths (321/322)? ----
+    def s0_packed_pad384(v):
+        # keep every packed intermediate at width 384 (3x128 tiles): pad the
+        # offset-packed input once; convs see SAME-pad-compatible zeros
+        y = _pack_offset(v)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, 384 - y.shape[2]), (0, 0)))
+        y = conv_A(y, K0p, b0)  # (B, H, 383, 128) aligned(+pad)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, 384 - y.shape[2]), (0, 0)))
+        y = conv_B(y, K1p, b1)  # (B, H, 385, 128)
+        return jnp.sum(_w2d_pool(y[:, :, :321]).astype(jnp.float32))
+
+    def s0_packed_nomask(v):
+        # drop the parity-B phantom zero-mask (inexact at the border pair;
+        # timing-only variant to cost the extra full-res elementwise pass)
+        y = conv_A(_pack_offset(v), K0p, b0)
+        y2 = jax.lax.conv_general_dilated(
+            y, K1p, (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        y2 = jax.nn.relu(y2 + jnp.tile(b1, 2))
+        return jnp.sum(_w2d_pool(y2).astype(jnp.float32))
+
+    timed("s0 packed pad384 widths     ", s0_packed_pad384, img, 24, flops)
+    timed("s0 packed no phantom mask   ", s0_packed_nomask, img, 24, flops)
+
+    # ---- fused Pallas w2d kernels (ops/pallas_w2d.py): the chain
+    # composition in VMEM instead of XLA ----
+    from gluefactory_tpu.ops import pallas_w2d as pw
+
+    def s0_pallas(br):
+        def fn(v):
+            y = conv_A(_pack_offset(v), K0p, b0)  # XLA packed conv0_0
+            return jnp.sum(
+                pw.fused_w2d_tail(y, K1p, b1, block_rows=br)
+                .astype(jnp.float32))
+        return fn
+
+    def s1_pallas(br):
+        def fn(v):
+            return jnp.sum(
+                pw.fused_w2d_stage(v, K1p, b1, K1p, b1, block_rows=br)
+                .astype(jnp.float32))
+        return fn
+
+    # on-chip exactness vs the XLA packed chain (interpret-mode tests do
+    # not catch Mosaic lowering bugs — compare real-chip checksums)
+    try:
+        a_chk = float(jax.device_get(jax.jit(s0_packed)(img)))
+        b_chk = float(jax.device_get(jax.jit(s0_pallas(8))(img)))
+        print(f"s0 pallas on-chip rel-delta: "
+              f"{abs(a_chk - b_chk) / max(abs(a_chk), 1.0):.2e}", flush=True)
+        a_chk = float(jax.device_get(jax.jit(s1_packed)(x1off)))
+        b_chk = float(jax.device_get(jax.jit(s1_pallas(8))(x1off)))
+        print(f"s1 pallas on-chip rel-delta: "
+              f"{abs(a_chk - b_chk) / max(abs(a_chk), 1.0):.2e}", flush=True)
+    except Exception as e:
+        print(f"pallas exactness check: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+
+    for br in (8, 12, 16):
+        try:
+            timed(f"s0 pallas tail br={br:<2}       ", s0_pallas(br),
+                  img, 24, flops)
+        except Exception as e:
+            print(f"s0 pallas br={br}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+    for br in (8, 16, 24):
+        try:
+            timed(f"s1 pallas stage br={br:<2}      ", s1_pallas(br),
+                  x1off, 48, flops2)
+        except Exception as e:
+            print(f"s1 pallas br={br}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+
 
 if __name__ == "__main__":
     import sys as _sys
