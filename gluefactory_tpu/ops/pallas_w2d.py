@@ -25,6 +25,18 @@ Layout contract (matches superpoint.py exactly, tests/test_pallas_w2d.py):
           reshape Mosaic cannot lower, so the caller does it in XLA (on
           quarter-resolution data; `repack_pool_output`).
 
+MEASURED RESULT (v5e, B=8, 640x480, scripts/bench_conv_packing.py --chain):
+on-chip EXACT (checksum rel-delta 0 vs the XLA packed chain) but SLOW —
+stage-0 tail 12.6 ms vs 4.66 direct-XLA / 6.79 packed-XLA; stage-1 full
+kernel 6.68 ms vs 1.22 direct (block_rows=8; 12/16/24 fail Mosaic compile,
+VMEM). Per-step time ~26 us against ~3.4 us of matmul work: the VMEM
+staging stores, f32 accumulator adds, and the retiling around the
+(rows*w, cin) matmul views dominate. This is the THIRD independent
+negative result for Mosaic conv-style kernels at these shapes (after
+`pallas_conv.py` fused stages and fused NMS) — the conv path stays on
+XLA's direct lowering. Kept as tested documentation of the attempt; do
+not re-attempt without a fundamentally different per-step cost model.
+
 Mosaic constraints honored (each documented failure was hit in r2-r4, see
 `pallas_conv.py` / `pallas_assignment.py`):
   - matmul accumulators f32 via preferred_element_type; one per-dy `big`
