@@ -16,7 +16,7 @@ Real multi-chip hardware does not exist on this machine, so the evidence is:
      sharding the keypoint axis pays vs pure DP (collective bytes + step
      time vs dense).
 
-Writes SCALING_r03.json at the repo root (driver-visible) and prints it.
+Writes SCALING_r{N}.json (N from --round, default 04) at the repo root (driver-visible) and prints it.
 
 Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python scripts/bench_scaling.py
@@ -217,7 +217,8 @@ def main():
         "dp": dp_rows,
         "tp_lightglue": tp_rows,
     }
-    path = Path(__file__).resolve().parent.parent / "SCALING_r03.json"
+    rnd = sys.argv[sys.argv.index("--round") + 1] if "--round" in sys.argv else "04"
+    path = Path(__file__).resolve().parent.parent / f"SCALING_r{rnd}.json"
     path.write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
