@@ -631,7 +631,9 @@ class LightGlue(BaseModel):
             jnp.float32,
         )
 
-        if not train and c.depth_confidence > 0:
+        if not train and c.depth_confidence > 0 and not self.is_initializing():
+            # (during init fall through to the scan path: the adaptive body
+            # slices `self.layers.variables`, which do not exist yet)
             return self._forward_adaptive_depth(
                 x, enc, mask0p, mask1p, (N, M), conf_ths
             )

@@ -131,3 +131,22 @@ def test_disk_forward():
     pred = jax.jit(lambda d: dk.apply(params, d))({"image": img})
     assert pred["keypoints"].shape == (1, 48, 2)
     assert pred["descriptors"].shape == (1, 48, 24)
+
+
+def test_lightglue_init_with_adaptive_depth():
+    """Initializing a model whose conf already has depth_confidence > 0 must
+    not crash (regression: the adaptive branch used to run during init and
+    slice the not-yet-bound `self.layers.variables`)."""
+    m = get_model("lightglue").from_conf(
+        {"n_layers": 2, "depth_confidence": 0.95, "weights": None}
+    )
+    rng = np.random.RandomState(0)
+    data = {
+        "keypoints0": jnp.asarray(rng.rand(1, 32, 2) * 100, jnp.float32),
+        "keypoints1": jnp.asarray(rng.rand(1, 32, 2) * 100, jnp.float32),
+        "descriptors0": jnp.asarray(rng.randn(1, 32, 256), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(1, 32, 256), jnp.float32),
+    }
+    vs = m.init(jax.random.PRNGKey(0), data)  # must not raise
+    pred = m.apply(vs, data)
+    assert "stop_layers" in pred and pred["matches0"].shape == (1, 32)
