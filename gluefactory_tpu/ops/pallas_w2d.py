@@ -158,7 +158,6 @@ def _stage_kernel(
 ):
     """conv_A + conv_B + folded pool, offset-packed in (full w2d stage)."""
     blk = pl.program_id(1)
-    cin2 = xt_ref.shape[2]
     # xt: (ht+4, W2+1, 2Ci) — 2 halo rows per side, width arrives offset-
     # packed with its own zero phantoms (no width staging needed)
     xt_ref[0:2] = hb[0, 0, 0:2].astype(xt_ref.dtype)

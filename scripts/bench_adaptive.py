@@ -43,7 +43,7 @@ def main():
     from gluefactory_tpu.models import get_model
 
     exp = sys.argv[1] if len(sys.argv) > 1 else "lg_synth_r4"
-    model, variables, conf = load_experiment(exp)
+    _, variables, conf = load_experiment(exp)
 
     # pairs from the training distribution (synthetic procedural images)
     dconf = conf["data"].to_dict()
