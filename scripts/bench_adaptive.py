@@ -43,7 +43,11 @@ def main():
     from gluefactory_tpu.models import get_model
 
     exp = sys.argv[1] if len(sys.argv) > 1 else "lg_synth_r4"
-    _, variables, conf = load_experiment(exp)
+    try:
+        _, variables, conf = load_experiment(exp)
+    except (FileNotFoundError, ValueError, IndexError):
+        # no checkpoint_best yet (run interrupted before first validation)
+        _, variables, conf = load_experiment(exp, get_last=True)
 
     # pairs from the training distribution (synthetic procedural images)
     dconf = conf["data"].to_dict()
