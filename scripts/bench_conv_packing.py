@@ -206,8 +206,7 @@ def diag_stage0():
     the 1-channel packed conv0_0 is the suspect (contraction 12 at 128-out
     vs direct's im2col-friendly 1-channel form).
 
-    Usage: timeout 1800 python -c "import sys; sys.path.insert(0,'scripts');
-    from bench_conv_packing import diag_stage0; diag_stage0()"
+    Usage: timeout 1800 python scripts/bench_conv_packing.py --stage0
     """
     import jax
 
@@ -248,8 +247,7 @@ def diag_stage_chain():
     isolated-op numbers (diag_stage0, main) say packed should win, yet the
     full flagship measured 3.6 ms/batch SLOWER with w2d1.
 
-    Usage: timeout 1800 python -c "import sys; sys.path.insert(0,'scripts');
-    from bench_conv_packing import diag_stage_chain; diag_stage_chain()"
+    Usage: timeout 2400 python scripts/bench_conv_packing.py --chain
     """
     import jax
 
@@ -346,8 +344,9 @@ def diag_stage_chain():
     # ---- layout-hypothesis variants: is the chain loss XLA relayouts
     # around the odd tile-hostile widths (321/322)? ----
     def s0_packed_pad384(v):
-        # keep every packed intermediate at width 384 (3x128 tiles): pad the
-        # offset-packed input once; convs see SAME-pad-compatible zeros
+        # keep every packed intermediate at width 384 (3x128 tiles).
+        # TIMING-ONLY: conv_A's extra col 320 (real col 640 + a zero) makes
+        # conv_B's border col differ from production SAME semantics
         y = _pack_offset(v)
         y = jnp.pad(y, ((0, 0), (0, 0), (0, 384 - y.shape[2]), (0, 0)))
         y = conv_A(y, K0p, b0)  # (B, H, 383, 128) aligned(+pad)
