@@ -53,23 +53,32 @@ def _n_groups(ch: int) -> int:
     return g
 
 
+def _dt(dtype: str):
+    return jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+
+
 class ResBlock(nn.Module):
     out_ch: int
     stride: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        dt = _dt(self.dtype)
         y = nn.Conv(self.out_ch, (3, 3), (self.stride, self.stride),
-                    padding="SAME", use_bias=False, name="c0")(x)
-        y = nn.GroupNorm(num_groups=_n_groups(self.out_ch), name="n0")(y)
+                    padding="SAME", use_bias=False, dtype=dt, name="c0")(x)
+        y = nn.GroupNorm(num_groups=_n_groups(self.out_ch), dtype=dt,
+                         name="n0")(y)
         y = nn.relu(y)
         y = nn.Conv(self.out_ch, (3, 3), padding="SAME", use_bias=False,
-                    name="c1")(y)
-        y = nn.GroupNorm(num_groups=_n_groups(self.out_ch), name="n1")(y)
+                    dtype=dt, name="c1")(y)
+        y = nn.GroupNorm(num_groups=_n_groups(self.out_ch), dtype=dt,
+                         name="n1")(y)
         if self.stride != 1 or x.shape[-1] != self.out_ch:
             x = nn.Conv(self.out_ch, (1, 1), (self.stride, self.stride),
-                        use_bias=False, name="proj")(x)
-            x = nn.GroupNorm(num_groups=_n_groups(self.out_ch), name="nproj")(x)
+                        use_bias=False, dtype=dt, name="proj")(x)
+            x = nn.GroupNorm(num_groups=_n_groups(self.out_ch), dtype=dt,
+                             name="nproj")(x)
         return nn.relu(x + y)
 
 
@@ -79,30 +88,34 @@ class ResNetFPN(nn.Module):
     dims: tuple = (64, 96, 128)  # at strides 2, 4, 8
     coarse_dim: int = 256
     fine_dim: int = 128
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         d1, d2, d3 = self.dims
+        dt = _dt(self.dtype)
+        x = x.astype(dt)
         # stem: stride 2
         x = nn.Conv(d1, (7, 7), (2, 2), padding="SAME", use_bias=False,
-                    name="stem")(x)
-        x = nn.GroupNorm(num_groups=_n_groups(d1), name="stem_n")(x)
+                    dtype=dt, name="stem")(x)
+        x = nn.GroupNorm(num_groups=_n_groups(d1), dtype=dt, name="stem_n")(x)
         x = nn.relu(x)
-        f2 = ResBlock(d1, name="l1b")(ResBlock(d1, name="l1a")(x))     # 1/2
-        f4 = ResBlock(d2, name="l2b")(ResBlock(d2, 2, name="l2a")(f2))  # 1/4
-        f8 = ResBlock(d3, name="l3b")(ResBlock(d3, 2, name="l3a")(f4))  # 1/8
+        blk = lambda ch, st, nm: ResBlock(ch, st, self.dtype, name=nm)
+        f2 = blk(d1, 1, "l1b")(blk(d1, 1, "l1a")(x))      # 1/2
+        f4 = blk(d2, 1, "l2b")(blk(d2, 2, "l2a")(f2))     # 1/4
+        f8 = blk(d3, 1, "l3b")(blk(d3, 2, "l3a")(f4))     # 1/8
 
-        coarse = nn.Conv(self.coarse_dim, (1, 1), name="out8")(f8)
+        coarse = nn.Conv(self.coarse_dim, (1, 1), dtype=dt, name="out8")(f8)
         # top-down: 1/8 -> 1/4 -> 1/2 with lateral fusion
         up4 = jax.image.resize(
             coarse, (*f4.shape[:3], self.coarse_dim), "bilinear")
-        lat4 = nn.Conv(self.coarse_dim, (1, 1), name="lat4")(f4)
-        m4 = nn.Conv(self.fine_dim, (3, 3), padding="SAME", name="m4")(
-            nn.relu(up4 + lat4))
+        lat4 = nn.Conv(self.coarse_dim, (1, 1), dtype=dt, name="lat4")(f4)
+        m4 = nn.Conv(self.fine_dim, (3, 3), padding="SAME", dtype=dt,
+                     name="m4")(nn.relu(up4 + lat4))
         up2 = jax.image.resize(m4, (*f2.shape[:3], self.fine_dim), "bilinear")
-        lat2 = nn.Conv(self.fine_dim, (1, 1), name="lat2")(f2)
-        fine = nn.Conv(self.fine_dim, (3, 3), padding="SAME", name="m2")(
-            nn.relu(up2 + lat2))
+        lat2 = nn.Conv(self.fine_dim, (1, 1), dtype=dt, name="lat2")(f2)
+        fine = nn.Conv(self.fine_dim, (3, 3), padding="SAME", dtype=dt,
+                       name="m2")(nn.relu(up2 + lat2))
         return coarse, fine
 
 
@@ -118,15 +131,23 @@ def linear_attention(q, k, v, kv_valid):
 
     q/k/v: (B, N, H, D); kv_valid: (B, M) mask of valid source tokens.
     Cost O(N H D^2): two einsums that are pure MXU work at any N.
+    Sums over the (long) token axis accumulate in f32 regardless of the
+    compute dtype (bf16 running sums over 4800 tokens drift).
     """
+    dt = q.dtype
     q = _elu_feature(q)
     k = _elu_feature(k)
-    k = k * kv_valid[:, :, None, None]
-    v = v * kv_valid[:, :, None, None]
-    kv = jnp.einsum("bmhd,bmhe->bhde", k, v)  # (B,H,D,D)
+    k = k * kv_valid[:, :, None, None].astype(k.dtype)
+    v = v * kv_valid[:, :, None, None].astype(v.dtype)
+    kv = jnp.einsum(
+        "bmhd,bmhe->bhde", k, v, preferred_element_type=jnp.float32)
+    ksum = jnp.sum(k.astype(jnp.float32), axis=1)  # (B,H,D)
     z = 1.0 / jnp.maximum(
-        jnp.einsum("bnhd,bhd->bnh", q, k.sum(axis=1)), 1e-6)
-    return jnp.einsum("bnhd,bhde,bnh->bnhe", q, kv, z)
+        jnp.einsum("bnhd,bhd->bnh", q.astype(jnp.float32), ksum), 1e-6)
+    out = jnp.einsum(
+        "bnhd,bhde->bnhe", q, kv.astype(dt),
+        preferred_element_type=jnp.float32)
+    return (out * z[..., None]).astype(dt)
 
 
 class LoFTRLayer(nn.Module):
@@ -134,24 +155,29 @@ class LoFTRLayer(nn.Module):
 
     dim: int
     heads: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, source, src_valid):
         B, N, C = x.shape
+        dt = _dt(self.dtype)
         h, dh = self.heads, self.dim // self.heads
-        q = nn.Dense(self.dim, use_bias=False, name="q")(x).reshape(B, N, h, dh)
-        k = nn.Dense(self.dim, use_bias=False, name="k")(source).reshape(
-            B, source.shape[1], h, dh)
-        v = nn.Dense(self.dim, use_bias=False, name="v")(source).reshape(
-            B, source.shape[1], h, dh)
+        x = x.astype(dt)
+        source = source.astype(dt)
+        q = nn.Dense(self.dim, use_bias=False, dtype=dt, name="q")(x).reshape(
+            B, N, h, dh)
+        k = nn.Dense(self.dim, use_bias=False, dtype=dt, name="k")(
+            source).reshape(B, source.shape[1], h, dh)
+        v = nn.Dense(self.dim, use_bias=False, dtype=dt, name="v")(
+            source).reshape(B, source.shape[1], h, dh)
         msg = linear_attention(q, k, v, src_valid).reshape(B, N, C)
-        msg = nn.Dense(self.dim, use_bias=False, name="merge")(msg)
-        msg = nn.LayerNorm(name="ln0")(msg)
+        msg = nn.Dense(self.dim, use_bias=False, dtype=dt, name="merge")(msg)
+        msg = nn.LayerNorm(dtype=dt, name="ln0")(msg)
         y = jnp.concatenate([x, msg], axis=-1)
-        y = nn.Dense(self.dim * 2, use_bias=False, name="mlp0")(y)
+        y = nn.Dense(self.dim * 2, use_bias=False, dtype=dt, name="mlp0")(y)
         y = nn.relu(y)
-        y = nn.Dense(self.dim, use_bias=False, name="mlp1")(y)
-        y = nn.LayerNorm(name="ln1")(y)
+        y = nn.Dense(self.dim, use_bias=False, dtype=dt, name="mlp1")(y)
+        y = nn.LayerNorm(dtype=dt, name="ln1")(y)
         return x + y
 
 
@@ -160,12 +186,13 @@ class CoarseBlock(nn.Module):
 
     dim: int
     heads: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, carry, _):
         x0, x1, v0, v1 = carry
-        self_att = LoFTRLayer(self.dim, self.heads, name="self")
-        cross_att = LoFTRLayer(self.dim, self.heads, name="cross")
+        self_att = LoFTRLayer(self.dim, self.heads, self.dtype, name="self")
+        cross_att = LoFTRLayer(self.dim, self.heads, self.dtype, name="cross")
         # same-parameter layer applied to both views (official LoFTR shares)
         x0 = self_att(x0, x0, v0)
         x1 = self_att(x1, x1, v1)
@@ -196,6 +223,7 @@ class LoFTR(BaseModel):
         "coarse_dim": 256,
         "fine_dim": 128,
         "backbone_dims": [64, 96, 128],
+        "dtype": "float32",      # compute dtype; params stay f32
         "n_layers": 4,           # coarse self+cross blocks
         "heads": 8,
         "temperature": 0.1,      # dual-softmax temperature
@@ -213,15 +241,17 @@ class LoFTR(BaseModel):
     def setup(self):
         c = self.conf
         self.backbone = ResNetFPN(
-            tuple(c.backbone_dims), c.coarse_dim, c.fine_dim, name="backbone")
+            tuple(c.backbone_dims), c.coarse_dim, c.fine_dim, c.dtype,
+            name="backbone")
         Block = nn.scan(
             CoarseBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
         )
-        self.coarse = Block(c.coarse_dim, c.heads, name="coarse")
-        self.fine_proj = nn.Dense(c.fine_dim, use_bias=False, name="fine_proj")
+        self.coarse = Block(c.coarse_dim, c.heads, c.dtype, name="coarse")
+        self.fine_proj = nn.Dense(
+            c.fine_dim, use_bias=False, dtype=_dt(c.dtype), name="fine_proj")
 
     # -- helpers -----------------------------------------------------------
 
@@ -232,8 +262,16 @@ class LoFTR(BaseModel):
         if im0.shape[-1] == 1:
             im0 = jnp.repeat(im0, 3, axis=-1)
             im1 = jnp.repeat(im1, 3, axis=-1)
-        c0, f0 = self.backbone(im0)
-        c1, f1 = self.backbone(im1)
+        if im0.shape == im1.shape:
+            # one 2B-batch backbone pass (identical math; the B=2 bench
+            # batches underfill the MXU per-view)
+            cs, fs = self.backbone(jnp.concatenate([im0, im1], axis=0))
+            B = im0.shape[0]
+            c0, c1 = cs[:B], cs[B:]
+            f0, f1 = fs[:B], fs[B:]
+        else:
+            c0, f0 = self.backbone(im0)
+            c1, f1 = self.backbone(im1)
         B, Hc, Wc, C = c0.shape
         pe = sine_pos_encoding(Hc, Wc, C).astype(c0.dtype)
         x0 = c0.reshape(B, Hc * Wc, C) + pe[None]
@@ -247,6 +285,7 @@ class LoFTR(BaseModel):
 
     def _dual_softmax(self, x0, x1):
         c = self.conf
+        x0, x1 = x0.astype(jnp.float32), x1.astype(jnp.float32)
         x0 = x0 / jnp.maximum(jnp.linalg.norm(x0, axis=-1, keepdims=True), 1e-6)
         x1 = x1 / jnp.maximum(jnp.linalg.norm(x1, axis=-1, keepdims=True), 1e-6)
         sim = jnp.einsum(
@@ -273,6 +312,7 @@ class LoFTR(BaseModel):
         d1 = self.fine_proj(
             bilinear_gather(f1, grid.reshape(B, K * w * w, 2))
         ).reshape(B, K, w * w, -1)
+        d0, d1 = d0.astype(jnp.float32), d1.astype(jnp.float32)
         d0 = d0 / jnp.maximum(jnp.linalg.norm(d0, axis=-1, keepdims=True), 1e-6)
         d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-6)
         heat = jax.nn.softmax(

@@ -140,3 +140,27 @@ def test_rectangular_images_and_jit():
     pred = jax.jit(lambda p, d: model.apply(p, d))(params, data)
     assert pred["keypoints0"].shape == (2, CONF["max_num_matches"], 2)
     assert np.isfinite(np.asarray(pred["keypoints1"])).all()
+
+
+def test_bf16_matches_f32():
+    """`dtype: bfloat16` is a compute-dtype switch (params stay f32): the
+    coarse cell selection must agree with the f32 path on a clean identity
+    pair, and refined points stay within a coarse cell of each other."""
+    m32 = get_model("matchers.loftr").from_conf(CONF)
+    m16 = get_model("matchers.loftr").from_conf({**CONF, "dtype": "bfloat16"})
+    data = _data()
+    params = m32.init(jax.random.PRNGKey(0), data)
+    p32 = m32.apply(params, data)
+    p16 = m16.apply(params, data)
+    # untrained dual-softmax scores are diffuse, so tail ranks shuffle at
+    # bf16 noise level — compare the top-8 (cell0 -> cell1) PAIRS as a set
+    def top_pairs(p, n=8):
+        order = np.argsort(-np.asarray(p["matching_scores0"][0]))[:n]
+        k0 = np.asarray(p["keypoints0"][0])[order]
+        k1 = np.asarray(p["keypoints1"][0])[order]
+        cell1 = np.round((k1 + 0.5) / 8.0 - 0.5)
+        return {(*map(float, a), *map(float, c)) for a, c in zip(k0, cell1)}
+
+    s32, s16 = top_pairs(p32), top_pairs(p16)
+    overlap = len(s32 & s16) / len(s32)
+    assert overlap >= 0.75, (overlap, s32, s16)
