@@ -13,7 +13,34 @@ import jax
 import jax.numpy as jnp
 
 
+_FORCE_XLA = False
+
+
+def force_xla_attention():
+    """Context manager disabling the Pallas auto-path for the enclosed trace.
+
+    Needed when tracing for platforms beyond the attached backend — e.g. a
+    multi-platform serving export from a TPU-attached process: the `auto`
+    impl would pick the Pallas kernels (backend is TPU) but Pallas has no
+    CPU lowering, so `jax.export(platforms=["cpu", ...])` fails."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        global _FORCE_XLA
+        prev = _FORCE_XLA
+        _FORCE_XLA = True
+        try:
+            yield
+        finally:
+            _FORCE_XLA = prev
+
+    return ctx()
+
+
 def _use_pallas() -> bool:
+    if _FORCE_XLA:
+        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:

@@ -109,28 +109,43 @@ def export_apply(model, variables, example_data, platforms=("cpu", "tpu"),
     `data_axis` and XLA bakes the collectives in — pod serving from one
     file (the artifact records the device count; reload it on any mesh of
     the same size)."""
+    import contextlib
+
     import jax
     from jax import export
+
+    from ..ops.attention import force_xla_attention
 
     def serve(data):
         return model.apply(dequantize_tree(variables), data, train=False)
 
-    if mesh is None:
+    # multi-platform artifacts cannot contain Pallas kernels (no CPU
+    # lowering); the auto attention path would pick them when the tracing
+    # process is TPU-attached. TPU-only exports keep the fused kernels.
+    guard = (
+        contextlib.nullcontext()
+        if set(platforms) == {"tpu"}
+        else force_xla_attention()
+    )
+    with guard:
+        if mesh is None:
+            spec = jax.tree.map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), example_data
+            )
+            return export.export(jax.jit(serve), platforms=list(platforms))(
+                spec
+            )
+        sh = _batch_sharding(mesh, data_axis)
         spec = jax.tree.map(
-            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), example_data
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
+            example_data,
         )
-        return export.export(jax.jit(serve), platforms=list(platforms))(spec)
-    sh = _batch_sharding(mesh, data_axis)
-    spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=sh),
-        example_data,
-    )
-    fn = jax.jit(
-        serve,
-        in_shardings=(jax.tree.map(lambda _: sh, example_data),),
-        out_shardings=sh,
-    )
-    return export.export(fn, platforms=list(platforms))(spec)
+        fn = jax.jit(
+            serve,
+            in_shardings=(jax.tree.map(lambda _: sh, example_data),),
+            out_shardings=sh,
+        )
+        return export.export(fn, platforms=list(platforms))(spec)
 
 
 def save_bundle(out_dir, model, variables, example_data,

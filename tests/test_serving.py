@@ -196,3 +196,28 @@ def test_bucketed_serving(tmp_path):
     except ValueError:
         raised = True
     assert raised
+
+
+def test_export_forces_xla_attention_for_multiplatform(tmp_path):
+    """A multi-platform export traced from a TPU-attached process must not
+    bake Pallas attention kernels (no CPU lowering — regression: exporting
+    a real experiment with --platforms cpu,tpu raised from pallas_call).
+    Simulated here by making the Pallas auto-gate claim a TPU backend unless
+    the export guard (`force_xla_attention`) is active."""
+    import gluefactory_tpu.ops.attention as attention
+
+    model = get_model("two_view_pipeline").from_conf(TINY)
+    ex = _example()
+    variables = model.init(jax.random.PRNGKey(0), ex, train=False)
+
+    orig = attention._use_pallas
+    attention._use_pallas = lambda: not attention._FORCE_XLA
+    try:
+        # guard engaged inside save_bundle for platforms beyond tpu ->
+        # traces the XLA path and succeeds even though the gate says "tpu"
+        save_bundle(tmp_path / "b", model, variables, ex,
+                    platforms=("cpu",), conf=TINY)
+    finally:
+        attention._use_pallas = orig
+    pred = load_bundle(tmp_path / "b")(ex)
+    assert pred["matches0"].shape == (2, 32)
