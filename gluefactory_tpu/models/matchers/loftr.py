@@ -224,6 +224,7 @@ class LoFTR(BaseModel):
         "fine_dim": 128,
         "backbone_dims": [64, 96, 128],
         "dtype": "float32",      # compute dtype; params stay f32
+        "stack_backbone": True,  # one 2B-batch backbone pass (exact)
         "n_layers": 4,           # coarse self+cross blocks
         "heads": 8,
         "temperature": 0.1,      # dual-softmax temperature
@@ -262,7 +263,7 @@ class LoFTR(BaseModel):
         if im0.shape[-1] == 1:
             im0 = jnp.repeat(im0, 3, axis=-1)
             im1 = jnp.repeat(im1, 3, axis=-1)
-        if im0.shape == im1.shape:
+        if im0.shape == im1.shape and self.conf.stack_backbone:
             # one 2B-batch backbone pass (identical math; the B=2 bench
             # batches underfill the MXU per-view)
             cs, fs = self.backbone(jnp.concatenate([im0, im1], axis=0))

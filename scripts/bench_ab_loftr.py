@@ -44,9 +44,15 @@ def main():
 
     out = {}
     ref_pts = None
-    for name, dtype in (("f32", "float32"), ("bf16", "bfloat16")):
+    variants = (
+        ("f32_unstacked", {"dtype": "float32", "stack_backbone": False}),
+        ("f32", {"dtype": "float32"}),
+        ("bf16", {"dtype": "bfloat16"}),
+        ("bf16_unstacked", {"dtype": "bfloat16", "stack_backbone": False}),
+    )
+    for name, extra in variants:
         model = get_model("loftr").from_conf(
-            {"max_num_matches": 1024, "dtype": dtype})
+            {"max_num_matches": 1024, **extra})
         d0 = {"view0": {"image": im0[0]}, "view1": {"image": im1[0]}}
         variables = model.init(jax.random.PRNGKey(0), d0, train=False)
         one = jax.jit(lambda v, a, b: model.apply(
@@ -72,9 +78,9 @@ def main():
                   file=sys.stderr)
             out[name] = None
             continue
-        if name == "f32":
+        if name == "f32_unstacked":
             ref_pts = pred
-        elif ref_pts is not None:
+        elif name == "bf16" and ref_pts is not None:
             # top-64 coarse pair set overlap vs f32 (random-weight score
             # tails shuffle at bf16 noise; the selected pairs should agree)
             def pairs(p, n=64):
