@@ -16,6 +16,7 @@ TPU-native redesign of the reference's 1.5k-line torch loop:
 from __future__ import annotations
 
 import signal
+import sys
 import time
 from collections import defaultdict
 from pathlib import Path
@@ -74,6 +75,16 @@ default_train_conf = {
     "mixed_precision": None,  # "bf16" casts the forward to bfloat16
     "allow_idle_devices": False,  # opt-in to batch%devices!=0 idling chips
     "profile_iters": 4,  # device-trace window for --profile
+    # image tensors are cast to this dtype for the host->device transfer
+    # (models cast to their compute dtype anyway); halves the per-step RPC
+    # payload — and, on the leaky axon tunnel (CLAUDE.md), the leaked bytes
+    "transfer_dtype": None,  # e.g. "bfloat16"
+    # graceful exit before the kernel OOM-killer: when host RSS exceeds
+    # this, save a checkpoint and exit(75) so a wrapper can --restore.
+    # Motivated by the axon tunnel client leaking EVERY host->device
+    # transfer (~44 MB/iter at batch 32; a 3000-iter run was OOM-killed
+    # at 130 GB RSS). None = off.
+    "max_host_rss_gb": None,
 }
 
 
@@ -427,17 +438,48 @@ def dump_gt_figures(pred_step, params, loader, mesh, conf, output_dir, writer):
         logger.warning(f"GT figure dump failed: {e}")
 
 
-def prepare_batch(data, mesh):
-    """Host numpy batch -> device, batch axis sharded over `mesh`."""
+def prepare_batch(data, mesh, transfer_dtype=None):
+    """Host numpy batch -> device, batch axis sharded over `mesh`.
+
+    `transfer_dtype` (e.g. "bfloat16") downcasts float32 IMAGE tensors for
+    the transfer only — models cast inputs to their compute dtype anyway."""
     def keep(x):
         return not isinstance(x, (str, list)) and x is not None
 
-    arrays = jax.tree.map(
-        lambda x: np.asarray(x) if keep(x) else None,
+    tdt = None
+    if transfer_dtype:
+        tdt = jnp.bfloat16 if transfer_dtype == "bfloat16" else jnp.dtype(
+            transfer_dtype)
+
+    def to_host(path, x):
+        if not keep(x):
+            return None
+        x = np.asarray(x)
+        if (
+            tdt is not None
+            and x.dtype == np.float32
+            and path and str(getattr(path[-1], "key", "")) == "image"
+        ):
+            return x.astype(tdt)
+        return x
+
+    arrays = jax.tree_util.tree_map_with_path(
+        to_host,
         data,
         is_leaf=lambda x: isinstance(x, (list, str)) or x is None,
     )
     return shard_batch(arrays, mesh)
+
+
+def _host_rss_gb() -> float:
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return int(line.split()[1]) / 1e6
+    except OSError:
+        pass
+    return 0.0
 
 
 def training(conf: Config, output_dir: Path, args=None):
@@ -490,7 +532,8 @@ def training(conf: Config, output_dir: Path, args=None):
     logger.info(f"mesh: {mesh}")
 
     # init params from a template batch
-    template = prepare_batch(next(iter(train_loader)), mesh)
+    transfer_dtype = train_conf.get("transfer_dtype", None)
+    template = prepare_batch(next(iter(train_loader)), mesh, transfer_dtype)
     rng = jax.random.PRNGKey(train_conf.seed)
     rng, init_rng, aug_rng = jax.random.split(rng, 3)
     params = model.init({"params": init_rng, "aug": aug_rng}, template, train=True)
@@ -631,7 +674,7 @@ def training(conf: Config, output_dir: Path, args=None):
                 )
             t_last = time.time()
             for it, data in enumerate(train_loader):
-                data = prepare_batch(data, mesh)
+                data = prepare_batch(data, mesh, transfer_dtype)
                 state, losses, metrics, stats = train_step(state, data)
                 profile_step(n_iter - start_iter)
                 if detect_anomaly and n_iter == start_iter:
@@ -682,6 +725,16 @@ def training(conf: Config, output_dir: Path, args=None):
                         writer.add_scalar("training/it_per_s", ips, n_iter)
                     losses_acc = defaultdict(AverageMetric)
                     t_last = time.time()
+                    rss_cap = train_conf.get("max_host_rss_gb", None)
+                    if rss_cap and _host_rss_gb() > float(rss_cap):
+                        logger.warning(
+                            f"host RSS {_host_rss_gb():.1f} GB > "
+                            f"max_host_rss_gb={rss_cap}: checkpointing and "
+                            "exiting 75 (restart with --restore; see "
+                            "train.max_host_rss_gb)"
+                        )
+                        stop_flag["stop"] = True
+                        stop_flag["rss_watchdog"] = True
 
                 if (
                     train_conf.log_grad_every_iter is not None
@@ -793,6 +846,11 @@ def training(conf: Config, output_dir: Path, args=None):
         signal.signal(signal.SIGINT, old_handler)
         if writer:
             writer.close()
+    if stop_flag.get("rss_watchdog"):
+        # EX_TEMPFAIL: a wrapper loop can `--restore` into a fresh process
+        # (the axon tunnel client leaks every host->device transfer; long
+        # runs must recycle the process before the kernel OOM-killer hits)
+        sys.exit(75)
     return state
 
 

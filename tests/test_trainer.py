@@ -296,3 +296,39 @@ def test_do_evaluation_overlap_bins_and_tsv(tmp_path):
     assert tsv[0].startswith("step\tindex\tname\toverlap")
     assert len(tsv) == 5
     assert tsv[1].split("\t")[:3] == ["7", "0", "a/x_y"]
+
+
+def test_transfer_dtype_casts_images_only():
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.train.trainer import prepare_batch
+
+    import jax
+
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    data = {
+        "view0": {
+            "image": np.random.rand(2, 8, 8, 1).astype(np.float32),
+            "image_size": np.ones((2, 2), np.float32),
+        },
+        "gt_matches0": np.zeros((2, 4), np.int32),
+    }
+    out = prepare_batch(data, mesh, "bfloat16")
+    assert out["view0"]["image"].dtype == jnp.bfloat16
+    assert out["view0"]["image_size"].dtype == jnp.float32
+    assert out["gt_matches0"].dtype == jnp.int32
+
+
+def test_rss_watchdog_checkpoints_and_exits_75(tiny_conf, tmp_path):
+    """max_host_rss_gb below the current RSS must stop the run after the
+    first log interval with a saved checkpoint and exit code 75 (the
+    restart contract of scripts/train_with_restarts.sh)."""
+    from gluefactory_tpu.train.trainer import training
+
+    tiny_conf["train"].merge_({"max_host_rss_gb": 0.001, "epochs": 3})
+    out = tmp_path / "rss_exp"
+    with pytest.raises(SystemExit) as e:
+        training(tiny_conf, out)
+    assert e.value.code == 75
+    assert (out / "checkpoint_interrupted").exists()
