@@ -139,15 +139,31 @@ def linear_attention(q, k, v, kv_valid):
     k = _elu_feature(k)
     k = k * kv_valid[:, :, None, None].astype(k.dtype)
     v = v * kv_valid[:, :, None, None].astype(v.dtype)
+    # explicit f32 operands instead of mixed bf16->f32 dots: XLA:CPU cannot
+    # execute a BF16xBF16=F32 DotThunk (hit under matmul precision=highest),
+    # and these contractions are tiny (D=32) next to the projections
     kv = jnp.einsum(
-        "bmhd,bmhe->bhde", k, v, preferred_element_type=jnp.float32)
+        "bmhd,bmhe->bhde",
+        k.astype(jnp.float32), v.astype(jnp.float32))
     ksum = jnp.sum(k.astype(jnp.float32), axis=1)  # (B,H,D)
     z = 1.0 / jnp.maximum(
         jnp.einsum("bnhd,bhd->bnh", q.astype(jnp.float32), ksum), 1e-6)
-    out = jnp.einsum(
-        "bnhd,bhde->bnhe", q, kv.astype(dt),
-        preferred_element_type=jnp.float32)
+    out = jnp.einsum("bnhd,bhde->bnhe", q.astype(jnp.float32), kv)
     return (out * z[..., None]).astype(dt)
+
+
+class _KParams(nn.Module):
+    """Bias-free Dense kernel at the same param path as
+    `nn.Dense(use_bias=False, name=...)` — lets the fused-QKV path share
+    checkpoints with the unfused one (params/<name>/kernel)."""
+
+    din: int
+    dout: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.din, self.dout))
 
 
 class LoFTRLayer(nn.Module):
@@ -156,20 +172,42 @@ class LoFTRLayer(nn.Module):
     dim: int
     heads: int
     dtype: str = "float32"
+    # One concatenated projection matmul instead of three skinny ones (q/k/v
+    # share the source when self-attending; k/v always share it). Bit-exact:
+    # concatenating kernel COLUMNS changes neither any dot product nor its
+    # reduction order. Param tree unchanged (see _KParams).
+    fused_qkv: bool = True
 
     @nn.compact
     def __call__(self, x, source, src_valid):
         B, N, C = x.shape
         dt = _dt(self.dtype)
         h, dh = self.heads, self.dim // self.heads
+        is_self = x is source
         x = x.astype(dt)
-        source = source.astype(dt)
-        q = nn.Dense(self.dim, use_bias=False, dtype=dt, name="q")(x).reshape(
-            B, N, h, dh)
-        k = nn.Dense(self.dim, use_bias=False, dtype=dt, name="k")(
-            source).reshape(B, source.shape[1], h, dh)
-        v = nn.Dense(self.dim, use_bias=False, dtype=dt, name="v")(
-            source).reshape(B, source.shape[1], h, dh)
+        source = x if is_self else source.astype(dt)
+        M = source.shape[1]
+        if self.fused_qkv:
+            Wq = _KParams(C, self.dim, name="q")().astype(dt)
+            Wk = _KParams(C, self.dim, name="k")().astype(dt)
+            Wv = _KParams(C, self.dim, name="v")().astype(dt)
+            if is_self:
+                qkv = x @ jnp.concatenate([Wq, Wk, Wv], axis=1)
+                q = qkv[..., : self.dim].reshape(B, N, h, dh)
+                k = qkv[..., self.dim: 2 * self.dim].reshape(B, M, h, dh)
+                v = qkv[..., 2 * self.dim:].reshape(B, M, h, dh)
+            else:
+                q = (x @ Wq).reshape(B, N, h, dh)
+                kv = source @ jnp.concatenate([Wk, Wv], axis=1)
+                k = kv[..., : self.dim].reshape(B, M, h, dh)
+                v = kv[..., self.dim:].reshape(B, M, h, dh)
+        else:
+            q = nn.Dense(self.dim, use_bias=False, dtype=dt, name="q")(
+                x).reshape(B, N, h, dh)
+            k = nn.Dense(self.dim, use_bias=False, dtype=dt, name="k")(
+                source).reshape(B, M, h, dh)
+            v = nn.Dense(self.dim, use_bias=False, dtype=dt, name="v")(
+                source).reshape(B, M, h, dh)
         msg = linear_attention(q, k, v, src_valid).reshape(B, N, C)
         msg = nn.Dense(self.dim, use_bias=False, dtype=dt, name="merge")(msg)
         msg = nn.LayerNorm(dtype=dt, name="ln0")(msg)
@@ -187,18 +225,51 @@ class CoarseBlock(nn.Module):
     dim: int
     heads: int
     dtype: str = "float32"
+    fused_qkv: bool = True
 
     @nn.compact
     def __call__(self, carry, _):
         x0, x1, v0, v1 = carry
-        self_att = LoFTRLayer(self.dim, self.heads, self.dtype, name="self")
-        cross_att = LoFTRLayer(self.dim, self.heads, self.dtype, name="cross")
+        self_att = LoFTRLayer(
+            self.dim, self.heads, self.dtype, self.fused_qkv, name="self")
+        cross_att = LoFTRLayer(
+            self.dim, self.heads, self.dtype, self.fused_qkv, name="cross")
         # same-parameter layer applied to both views (official LoFTR shares)
         x0 = self_att(x0, x0, v0)
         x1 = self_att(x1, x1, v1)
         y0 = cross_att(x0, x1, v1)
         y1 = cross_att(x1, x0, v0)
         return (y0, y1, v0, v1), None
+
+
+class StackedCoarseBlock(nn.Module):
+    """CoarseBlock on both views stacked along batch: z = [x0; x1] (2B, N, C).
+
+    Exact: every op in LoFTRLayer/linear_attention is independent per batch
+    element, so self-attention batches trivially and cross-attention's source
+    is `roll(z, B)` = [x1; x0]. Halves the dispatch count and doubles the
+    MXU tile occupancy of every projection at small B. Same param tree as
+    CoarseBlock (children "self"/"cross"), so the flag is runtime-switchable
+    on one checkpoint (tested: tests/test_loftr.py)."""
+
+    dim: int
+    heads: int
+    dtype: str = "float32"
+    fused_qkv: bool = True
+
+    @nn.compact
+    def __call__(self, carry, _):
+        z, v = carry
+        B2 = z.shape[0]
+        self_att = LoFTRLayer(
+            self.dim, self.heads, self.dtype, self.fused_qkv, name="self")
+        cross_att = LoFTRLayer(
+            self.dim, self.heads, self.dtype, self.fused_qkv, name="cross")
+        z = self_att(z, z, v)
+        zs = jnp.roll(z, B2 // 2, axis=0)
+        vs = jnp.roll(v, B2 // 2, axis=0)
+        z = cross_att(z, zs, vs)
+        return (z, v), None
 
 
 def sine_pos_encoding(h, w, dim):
@@ -223,8 +294,17 @@ class LoFTR(BaseModel):
         "coarse_dim": 256,
         "fine_dim": 128,
         "backbone_dims": [64, 96, 128],
-        "dtype": "float32",      # compute dtype; params stay f32
-        "stack_backbone": True,  # one 2B-batch backbone pass (exact)
+        # All three stacking/fusion switches are EXACT rearrangements, kept
+        # as tested options but OFF: two independent on-chip A/B processes
+        # (scripts/bench_ab_loftr.py, v5e 640x480 B=2) measured f32 all-off
+        # fastest — stacked backbone -3..-5%, fused_qkv -3%, stack_coarse
+        # ~neutral, bf16 -11% (like s2d/w2d for SuperPoint, isolated-op
+        # reasoning does not transfer; XLA fuses the direct forms better).
+        "dtype": "float32",       # compute dtype; params stay f32
+        "stack_backbone": False,  # one 2B-batch backbone pass (exact)
+        "stack_coarse": False,    # both views stacked through the coarse
+                                  # transformer (exact; StackedCoarseBlock)
+        "fused_qkv": False,       # one concatenated q/k/v projection matmul
         "n_layers": 4,           # coarse self+cross blocks
         "heads": 8,
         "temperature": 0.1,      # dual-softmax temperature
@@ -245,12 +325,13 @@ class LoFTR(BaseModel):
             tuple(c.backbone_dims), c.coarse_dim, c.fine_dim, c.dtype,
             name="backbone")
         Block = nn.scan(
-            CoarseBlock,
+            StackedCoarseBlock if c.stack_coarse else CoarseBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
         )
-        self.coarse = Block(c.coarse_dim, c.heads, c.dtype, name="coarse")
+        self.coarse = Block(
+            c.coarse_dim, c.heads, c.dtype, c.fused_qkv, name="coarse")
         self.fine_proj = nn.Dense(
             c.fine_dim, use_bias=False, dtype=_dt(c.dtype), name="fine_proj")
 
@@ -281,7 +362,22 @@ class LoFTR(BaseModel):
         x1 = c1.reshape(B, Hc1 * Wc1, C) + pe1[None]
         v0 = jnp.ones(x0.shape[:2], bool)
         v1 = jnp.ones(x1.shape[:2], bool)
-        (x0, x1, _, _), _ = self.coarse((x0, x1, v0, v1), None)
+        if self.conf.stack_coarse:
+            # unequal grids: pad the token axes to a common length. Exact —
+            # linear_attention zeroes padded KEYS via the valid mask, and
+            # padded QUERY rows are sliced off below before any use.
+            N0, N1 = x0.shape[1], x1.shape[1]
+            Nm = max(N0, N1)
+            x0p = jnp.pad(x0, ((0, 0), (0, Nm - N0), (0, 0)))
+            x1p = jnp.pad(x1, ((0, 0), (0, Nm - N1), (0, 0)))
+            v0p = jnp.pad(v0, ((0, 0), (0, Nm - N0)))
+            v1p = jnp.pad(v1, ((0, 0), (0, Nm - N1)))
+            z = jnp.concatenate([x0p, x1p], axis=0)
+            v = jnp.concatenate([v0p, v1p], axis=0)
+            (z, _), _ = self.coarse((z, v), None)
+            x0, x1 = z[:B, :N0], z[B:, :N1]
+        else:
+            (x0, x1, _, _), _ = self.coarse((x0, x1, v0, v1), None)
         return x0, x1, f0, f1, (Hc, Wc), (Hc1, Wc1)
 
     def _dual_softmax(self, x0, x1):

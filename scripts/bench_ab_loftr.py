@@ -44,11 +44,17 @@ def main():
 
     out = {}
     ref_pts = None
+    off = {"stack_backbone": False, "stack_coarse": False, "fused_qkv": False}
     variants = (
-        ("f32_unstacked", {"dtype": "float32", "stack_backbone": False}),
-        ("f32", {"dtype": "float32"}),
-        ("bf16", {"dtype": "bfloat16"}),
-        ("bf16_unstacked", {"dtype": "bfloat16", "stack_backbone": False}),
+        # r4 late-session result (old code): f32 unstacked-backbone 111.05,
+        # f32 stacked 106.35, bf16 101.31, bf16_unstacked 91.73 pairs/s.
+        ("f32_unstacked", {"dtype": "float32", **off}),
+        ("f32_fqkv", {"dtype": "float32", **off, "fused_qkv": True}),
+        ("f32_fqkv_stackc", {"dtype": "float32", **off, "fused_qkv": True,
+                             "stack_coarse": True}),
+        ("f32_all", {"dtype": "float32"}),  # all three stacking/fusion flags
+        ("bf16_fqkv_stackc", {"dtype": "bfloat16", **off, "fused_qkv": True,
+                              "stack_coarse": True}),
     )
     for name, extra in variants:
         model = get_model("loftr").from_conf(
@@ -80,7 +86,7 @@ def main():
             continue
         if name == "f32_unstacked":
             ref_pts = pred
-        elif name == "bf16" and ref_pts is not None:
+        elif ref_pts is not None:
             # top-64 coarse pair set overlap vs f32 (random-weight score
             # tails shuffle at bf16 noise; the selected pairs should agree)
             def pairs(p, n=64):
@@ -91,9 +97,9 @@ def main():
                         zip(k0, c1)}
 
             s_ref, s_new = pairs(ref_pts), pairs(pred)
-            out["top64_overlap"] = round(len(s_ref & s_new) / 64, 3)
-            print(f"top64 overlap vs f32: {out['top64_overlap']}",
-                  file=sys.stderr)
+            out[f"top64_overlap_{name}"] = round(len(s_ref & s_new) / 64, 3)
+            print(f"top64 overlap vs f32 ({name}): "
+                  f"{out[f'top64_overlap_{name}']}", file=sys.stderr)
         times = []
         for r in range(REPS):
             a = im0.at[0, 0, 0, 0, 0].add(1e-4 * (r + 1))

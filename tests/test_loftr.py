@@ -142,6 +142,61 @@ def test_rectangular_images_and_jit():
     assert np.isfinite(np.asarray(pred["keypoints1"])).all()
 
 
+def test_stack_coarse_and_fused_qkv_exact():
+    """`stack_coarse` (both views through the coarse transformer as one 2B
+    batch) and `fused_qkv` (one concatenated projection matmul) are pure
+    runtime switches: same param tree, numerically matching outputs."""
+    base = {**CONF, "stack_coarse": False, "fused_qkv": False}
+    m_ref = get_model("matchers.loftr").from_conf(base)
+    rng = np.random.RandomState(3)
+    data = {
+        "view0": {"image": jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)},
+        "view1": {"image": jnp.asarray(rng.rand(2, 64, 64, 1), jnp.float32)},
+    }
+    params = m_ref.init(jax.random.PRNGKey(0), data)
+    ref = m_ref.apply(params, data)
+    for extra in (
+        {"fused_qkv": True},
+        {"stack_coarse": True},
+        {"stack_coarse": True, "fused_qkv": True},
+    ):
+        m = get_model("matchers.loftr").from_conf({**base, **extra})
+        out = m.apply(params, data)
+        np.testing.assert_allclose(
+            np.asarray(out["keypoints1"]), np.asarray(ref["keypoints1"]),
+            atol=1e-3, err_msg=str(extra))
+        np.testing.assert_array_equal(
+            np.asarray(out["matches0"]), np.asarray(ref["matches0"]),
+            err_msg=str(extra))
+        np.testing.assert_allclose(
+            np.asarray(out["matching_scores0"]),
+            np.asarray(ref["matching_scores0"]), atol=1e-4,
+            err_msg=str(extra))
+
+
+def test_stack_coarse_unequal_grids_exact():
+    """The padded-token stacking path (rectangular pair, different grids)
+    matches the unstacked reference exactly."""
+    base = {**CONF, "stack_coarse": False, "fused_qkv": False}
+    m_ref = get_model("matchers.loftr").from_conf(base)
+    m_st = get_model("matchers.loftr").from_conf(
+        {**CONF, "stack_coarse": True, "fused_qkv": True,
+         "stack_backbone": False})
+    rng = np.random.RandomState(4)
+    data = {
+        "view0": {"image": jnp.asarray(rng.rand(1, 48, 64, 1), jnp.float32)},
+        "view1": {"image": jnp.asarray(rng.rand(1, 64, 48, 1), jnp.float32)},
+    }
+    params = m_ref.init(jax.random.PRNGKey(0), data)
+    ref = m_ref.apply(params, data)
+    out = m_st.apply(params, data)
+    np.testing.assert_array_equal(
+        np.asarray(out["matches0"]), np.asarray(ref["matches0"]))
+    np.testing.assert_allclose(
+        np.asarray(out["keypoints1"]), np.asarray(ref["keypoints1"]),
+        atol=1e-3)
+
+
 def test_bf16_matches_f32():
     """`dtype: bfloat16` is a compute-dtype switch (params stay f32): the
     coarse cell selection must agree with the f32 path on a clean identity
