@@ -105,13 +105,17 @@ def bench_gluestick(floor):
 
 
 def bench_loftr(floor):
-    """LoFTR dense matcher on full 640x480 image pairs, B=2."""
+    """LoFTR dense matcher on full 640x480 image pairs, B=8.
+
+    B=8 per the on-chip sweep (scripts/bench_loftr_batch.py, one process):
+    B=2 65.8, B=4 61.8, B=8 85.0, B=16 84.9 pairs/s — same MXU-occupancy
+    cliff shape as the flagship's conv stages."""
     import jax
     import jax.numpy as jnp
 
     from gluefactory_tpu.models import get_model
 
-    B, iters = 2, 8
+    B, iters = 8, 4
     w, h = SIZE
     model = get_model("loftr").from_conf({"max_num_matches": 1024})
     rng = np.random.RandomState(0)

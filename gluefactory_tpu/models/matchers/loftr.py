@@ -286,6 +286,27 @@ def sine_pos_encoding(h, w, dim):
     return enc.reshape(h * w, enc.shape[-1])
 
 
+def coarse_select(sim):
+    """Mutual-NN selection of the dual-softmax WITHOUT materializing P.
+
+    log P[n, m] = 2 sim[n, m] - lse1[m] - lse2[n] (lse = logsumexp over
+    axis 1 / 2), and exp is monotone, so every argmax/max of P is an
+    argmax/max of fused reductions directly over `sim`. The old path
+    (P = softmax1 * softmax2, then argmax/max/argmax over the full
+    (B, N, M) f32 matrix) cost ~7 HBM passes of N*M*4 bytes — 54 of the
+    115 ms LoFTR batch at B=8 (scripts/bench_loftr_stages.py). Returns
+    (j_best (B,N), i_best (B,M), conf (B,N) = row max of P); exactness vs
+    the P path: tests/test_loftr.py::test_log_space_selection.
+    """
+    lse1 = jax.scipy.special.logsumexp(sim, axis=1)  # (B, M)
+    lse2 = jax.scipy.special.logsumexp(sim, axis=2)  # (B, N)
+    A = 2.0 * sim - lse1[:, None, :]
+    j_best = jnp.argmax(A, axis=2)                   # (B, N)
+    conf = jnp.exp(jnp.max(A, axis=2) - lse2)        # (B, N)
+    i_best = jnp.argmax(2.0 * sim - lse2[:, :, None], axis=1)  # (B, M)
+    return j_best, i_best, conf
+
+
 # ------------------------------------------------------------------- model
 
 
@@ -380,15 +401,57 @@ class LoFTR(BaseModel):
             (x0, x1, _, _), _ = self.coarse((x0, x1, v0, v1), None)
         return x0, x1, f0, f1, (Hc, Wc), (Hc1, Wc1)
 
-    def _dual_softmax(self, x0, x1):
+    def _similarity(self, x0, x1):
         c = self.conf
         x0, x1 = x0.astype(jnp.float32), x1.astype(jnp.float32)
         x0 = x0 / jnp.maximum(jnp.linalg.norm(x0, axis=-1, keepdims=True), 1e-6)
         x1 = x1 / jnp.maximum(jnp.linalg.norm(x1, axis=-1, keepdims=True), 1e-6)
-        sim = jnp.einsum(
+        return jnp.einsum(
             "bnc,bmc->bnm", x0, x1,
             preferred_element_type=jnp.float32) / c.temperature
+
+    def _dual_softmax(self, x0, x1):
+        sim = self._similarity(x0, x1)
         return jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+
+    def _gather_windows(self, fmap, centers, w):
+        """All w*w bilinear taps at integer offsets around `centers` from ONE
+        (w+1)x(w+1) integer-patch gather: every tap shares the centers'
+        fractional part, so the 4 bilinear corners of tap (dy, dx) are patch
+        entries (dy..dy+1, dx..dx+1). (w+1)^2 gathers instead of 4*w*w —
+        2.8x fewer at w=5 (the gather-bound half of the fine stage). Values
+        identical to per-tap `bilinear_gather` for every window that is
+        fully inside the map; taps hanging off the TOP/LEFT border use true
+        edge-clamp (both corners pinned to index 0) where bilinear_gather
+        blends rows/cols 0 and 1 — the standard clamp semantics
+        (tests/test_loftr.py::test_fine_window_gather_exact).
+
+        fmap: (B, H, W, C); centers: (B, K, 2) xy. Returns (B, K, w*w, C).
+        """
+        B, H, W, C = fmap.shape
+        K = centers.shape[1]
+        r = w // 2
+        x, y = centers[..., 0], centers[..., 1]
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        wx = (x - x0).astype(fmap.dtype)[..., None]  # (B, K, 1)
+        wy = (y - y0).astype(fmap.dtype)[..., None]
+        # integer patch coords, clipped per tap (edge-clamp semantics)
+        d = jnp.arange(-r, r + 2)  # w+1 values
+        xi = jnp.clip(x0.astype(jnp.int32)[..., None] + d, 0, W - 1)  # (B,K,w+1)
+        yi = jnp.clip(y0.astype(jnp.int32)[..., None] + d, 0, H - 1)
+        idx = (yi[:, :, :, None] * W + xi[:, :, None, :]).reshape(
+            B, K * (w + 1) * (w + 1))
+        patch = jnp.take_along_axis(
+            fmap.reshape(B, H * W, C), idx[..., None], axis=1
+        ).reshape(B, K, w + 1, w + 1, C)
+        out = (
+            patch[:, :, :w, :w] * ((1 - wx) * (1 - wy))[..., None, :, None]
+            + patch[:, :, :w, 1:] * (wx * (1 - wy))[..., None, :, None]
+            + patch[:, :, 1:, :w] * ((1 - wx) * wy)[..., None, :, None]
+            + patch[:, :, 1:, 1:] * (wx * wy)[..., None, :, None]
+        )
+        return out.reshape(B, K, w * w, C)
 
     def _fine_refine(self, f0, f1, pts0, pts1, stride_f=2):
         """Correlation-expectation refinement of pts1. pts*: (B, K, 2) px."""
@@ -404,11 +467,8 @@ class LoFTR(BaseModel):
         # fine window around pts1: offsets in fine-grid units
         dy, dx = jnp.mgrid[-r:r + 1, -r:r + 1].astype(f1.dtype)
         offs = jnp.stack([dx, dy], -1).reshape(-1, 2)  # (w*w, 2), xy
-        grid = g1[:, :, None, :] + offs[None, None]  # (B,K,w2,2)
         B, K = pts1.shape[:2]
-        d1 = self.fine_proj(
-            bilinear_gather(f1, grid.reshape(B, K * w * w, 2))
-        ).reshape(B, K, w * w, -1)
+        d1 = self.fine_proj(self._gather_windows(f1, g1, w))  # (B,K,w2,D)
         d0, d1 = d0.astype(jnp.float32), d1.astype(jnp.float32)
         d0 = d0 / jnp.maximum(jnp.linalg.norm(d0, axis=-1, keepdims=True), 1e-6)
         d1 = d1 / jnp.maximum(jnp.linalg.norm(d1, axis=-1, keepdims=True), 1e-6)
@@ -423,13 +483,11 @@ class LoFTR(BaseModel):
     def _forward(self, data: dict, train: bool = False) -> dict:
         c = self.conf
         x0, x1, f0, f1, (Hc, Wc), (Hc1, Wc1) = self._coarse_features(data)
-        P = self._dual_softmax(x0, x1)  # (B, N, M)
-        B, N, M = P.shape
+        sim = self._similarity(x0, x1)  # (B, N, M)
+        B, N, M = sim.shape
 
-        # mutual-nearest + threshold
-        j_best = jnp.argmax(P, axis=2)                        # (B, N)
-        i_best = jnp.argmax(P, axis=1)                        # (B, M)
-        conf = jnp.max(P, axis=2)                             # (B, N)
+        # mutual-nearest + threshold, in log space (never materializes P)
+        j_best, i_best, conf = coarse_select(sim)
         mutual = jnp.take_along_axis(i_best, j_best, axis=1) == jnp.arange(N)[None]
         ok = mutual & (conf > c.conf_threshold)
         score = jnp.where(ok, conf, 0.0)
@@ -465,7 +523,9 @@ class LoFTR(BaseModel):
             "matching_scores1": top_score,
         }
         if train:
-            pred["coarse_matrix"] = P
+            # the full probability matrix is only ever needed by the loss
+            pred["coarse_matrix"] = jax.nn.softmax(
+                sim, axis=1) * jax.nn.softmax(sim, axis=2)
             # GT runs in-forward (the framework's run_gt_in_forward pattern)
             # so the fine stage can be TEACHER-FORCED on GT coarse matches:
             # model-selected matches are never cell-correct at random init,

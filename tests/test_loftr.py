@@ -142,6 +142,76 @@ def test_rectangular_images_and_jit():
     assert np.isfinite(np.asarray(pred["keypoints1"])).all()
 
 
+def test_fine_window_gather_exact():
+    """_gather_windows (one integer-patch gather + shifted bilinear slices)
+    equals per-tap bilinear_gather on the offset grid, incl. edge clamping."""
+    from gluefactory_tpu.models.extractors.aliked import bilinear_gather
+
+    model = get_model("matchers.loftr").from_conf(CONF)
+    data = _data()
+    bound = model.bind(model.init(jax.random.PRNGKey(0), data))
+    rng = np.random.RandomState(5)
+    B, H, W, C, K, w = 2, 16, 20, 7, 11, 5
+    fmap = jnp.asarray(rng.randn(B, H, W, C), jnp.float32)
+    r = w // 2
+    dy, dx = jnp.mgrid[-r:r + 1, -r:r + 1].astype(jnp.float32)
+    offs = jnp.stack([dx, dy], -1).reshape(-1, 2)
+
+    # (1) fully-interior windows: tap-for-tap equal to bilinear_gather
+    centers = jnp.asarray(
+        r + 1 + rng.rand(B, K, 2) * [W - 2 * r - 3, H - 2 * r - 3],
+        jnp.float32)
+    got = bound._gather_windows(fmap, centers, w)
+    grid = centers[:, :, None, :] + offs[None, None]
+    ref = bilinear_gather(fmap, grid.reshape(B, K * w * w, 2)).reshape(
+        B, K, w * w, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    # (2) border-straddling windows: true edge-clamp (both corners pinned),
+    # checked against an explicit numpy reference
+    centers = jnp.asarray(
+        rng.rand(B, K, 2) * [W + 4, H + 4] - 2, jnp.float32)
+    got = np.asarray(bound._gather_windows(fmap, centers, w))
+    f = np.asarray(fmap)
+    cn = np.asarray(centers)
+    for bi in range(B):
+        for ki in range(K):
+            for ti, (ox, oy) in enumerate(np.asarray(offs)):
+                x, y = cn[bi, ki, 0] + ox, cn[bi, ki, 1] + oy
+                x0, y0 = np.floor(x), np.floor(y)
+                wx, wy = x - x0, y - y0
+                xi0 = int(np.clip(x0, 0, W - 1))
+                xi1 = int(np.clip(x0 + 1, 0, W - 1))
+                yi0 = int(np.clip(y0, 0, H - 1))
+                yi1 = int(np.clip(y0 + 1, 0, H - 1))
+                exp = (
+                    f[bi, yi0, xi0] * (1 - wx) * (1 - wy)
+                    + f[bi, yi0, xi1] * wx * (1 - wy)
+                    + f[bi, yi1, xi0] * (1 - wx) * wy
+                    + f[bi, yi1, xi1] * wx * wy)
+                np.testing.assert_allclose(
+                    got[bi, ki, ti], exp, atol=1e-4)
+
+
+def test_log_space_selection():
+    """coarse_select (log-space, never materializes P) returns the same
+    argmaxes and max-confidence as the explicit dual-softmax matrix."""
+    from gluefactory_tpu.models.matchers.loftr import coarse_select
+
+    rng = np.random.RandomState(7)
+    # well-separated random sims (no fp ties) incl. rectangular N != M
+    for n, m in ((40, 40), (30, 50)):
+        sim = jnp.asarray(rng.randn(3, n, m) * 3.0, jnp.float32)
+        P = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+        j_ref = np.argmax(np.asarray(P), axis=2)
+        i_ref = np.argmax(np.asarray(P), axis=1)
+        conf_ref = np.max(np.asarray(P), axis=2)
+        j, i, conf = coarse_select(sim)
+        np.testing.assert_array_equal(np.asarray(j), j_ref)
+        np.testing.assert_array_equal(np.asarray(i), i_ref)
+        np.testing.assert_allclose(np.asarray(conf), conf_ref, rtol=2e-5)
+
+
 def test_stack_coarse_and_fused_qkv_exact():
     """`stack_coarse` (both views through the coarse transformer as one 2B
     batch) and `fused_qkv` (one concatenated projection matmul) are pure
