@@ -85,10 +85,14 @@ def bilinear_gather(fmap: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     y0 = jnp.floor(y)
     wx = x - x0
     wy = y - y0
+    # Each corner clips independently from the UNCLIPPED base index: a tap
+    # hanging off the top/left border pins both corners to index 0 (true
+    # edge-clamp, = torch grid_sample border padding and LoFTR's
+    # _gather_windows) instead of blending rows/cols 0 and 1.
     x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
-    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    x1i = jnp.clip(x0.astype(jnp.int32) + 1, 0, W - 1)
     y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
-    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    y1i = jnp.clip(y0.astype(jnp.int32) + 1, 0, H - 1)
     flat = fmap.reshape(B, H * W, C)
 
     def g(yy, xx):

@@ -176,7 +176,7 @@ class LoFTRLayer(nn.Module):
     # share the source when self-attending; k/v always share it). Bit-exact:
     # concatenating kernel COLUMNS changes neither any dot product nor its
     # reduction order. Param tree unchanged (see _KParams).
-    fused_qkv: bool = True
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, source, src_valid):
@@ -225,7 +225,7 @@ class CoarseBlock(nn.Module):
     dim: int
     heads: int
     dtype: str = "float32"
-    fused_qkv: bool = True
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -255,7 +255,7 @@ class StackedCoarseBlock(nn.Module):
     dim: int
     heads: int
     dtype: str = "float32"
-    fused_qkv: bool = True
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
@@ -287,14 +287,17 @@ def sine_pos_encoding(h, w, dim):
 
 
 def coarse_select(sim):
-    """Mutual-NN selection of the dual-softmax WITHOUT materializing P.
+    """Mutual-NN selection of the dual-softmax with fewer full-matrix passes.
 
     log P[n, m] = 2 sim[n, m] - lse1[m] - lse2[n] (lse = logsumexp over
     axis 1 / 2), and exp is monotone, so every argmax/max of P is an
     argmax/max of fused reductions directly over `sim`. The old path
     (P = softmax1 * softmax2, then argmax/max/argmax over the full
     (B, N, M) f32 matrix) cost ~7 HBM passes of N*M*4 bytes — 54 of the
-    115 ms LoFTR batch at B=8 (scripts/bench_loftr_stages.py). Returns
+    115 ms LoFTR batch at B=8 (scripts/bench_loftr_stages.py). The `A`
+    temporaries below are still (B, N, M) unless XLA fuses them into the
+    reductions; the guaranteed win is fewer HBM passes, not zero
+    materialization. Returns
     (j_best (B,N), i_best (B,M), conf (B,N) = row max of P); exactness vs
     the P path: tests/test_loftr.py::test_log_space_selection.
     """

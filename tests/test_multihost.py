@@ -5,6 +5,7 @@ single-process mesh tests cannot cover (VERDICT r1 weak #7)."""
 
 import json
 import os
+import socket
 import subprocess
 import sys
 from pathlib import Path
@@ -12,11 +13,19 @@ from pathlib import Path
 import pytest
 
 
+def _free_port() -> str:
+    # Ephemeral port per run: a hardcoded port makes two concurrent suite
+    # runs collide on the coordination service ("different incarnation").
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_process_train_step():
     worker = Path(__file__).parent / "multihost_worker.py"
     root = Path(__file__).parent.parent
     env = {**os.environ, "PYTHONPATH": str(root)}
-    port = "29517"
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, str(worker), str(pid), "2", port],
