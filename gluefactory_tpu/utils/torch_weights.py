@@ -571,3 +571,77 @@ def convert_dinov2(sd: dict, depth: int | None = None) -> dict:
         "blocks": _stack_trees([block(i) for i in range(depth)]),
     }
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# DISK (official thin U-Net; kornia `feature.DISK.from_pretrained` weights)
+# ---------------------------------------------------------------------------
+
+
+def convert_disk(sd: dict) -> dict:
+    """Official DISK checkpoint -> flax params for
+    `models/extractors/disk.py` (`arch: "official"`).
+
+    The reference loads these through kornia
+    (`gluefactory/models/extractors/disk_kornia.py:28`); the underlying
+    module tree is the `unets` thin U-Net: `unet.path_down.{0..4}` /
+    `unet.path_up.{0..3}`, each block one 5x5 Conv2d (+ a per-channel PReLU
+    for every block except down_0; InstanceNorm2d carries no parameters).
+
+    Matching is STRUCTURAL within each block prefix — the conv kernel is the
+    block's 4D tensor, its bias the 1D tensor of matching out-channels, the
+    PReLU slope the remaining 1D tensor — so exact Sequential indices
+    (which depend on the vendored `unets` version) do not matter. PReLU
+    slopes stored as a single scalar broadcast to per-channel.
+    """
+    import re
+
+    # tolerate {"extractor.unet...."} (original disk repo saves the full
+    # training harness) and bare {"path_down...."} trees
+    groups: dict = {}
+    for k, v in sd.items():
+        m = re.search(r"path_(down|up)\.(\d+)\.", k)
+        if m is None:
+            continue
+        groups.setdefault((m.group(1), int(m.group(2))), {})[k] = np.asarray(v)
+
+    if not groups:
+        raise ValueError(
+            "no `path_down`/`path_up` keys found — not a DISK U-Net "
+            f"state dict (keys: {sorted(sd)[:5]}...)")
+
+    def block(kind, idx):
+        g = groups[(kind, idx)]
+        convs = {k: v for k, v in g.items() if v.ndim == 4}
+        if len(convs) != 1:
+            raise ValueError(
+                f"path_{kind}.{idx}: expected exactly one conv weight, got "
+                f"{sorted(convs)}")
+        (wk, w), = convs.items()
+        out_ch, in_ch = w.shape[:2]
+        ones = {k: v for k, v in g.items() if v.ndim == 1}
+        bias = ones.pop(wk[: -len("weight")] + "bias", None)
+        if bias is None:  # bias key not named alongside the weight
+            cands = [k for k, v in ones.items() if v.shape == (out_ch,)]
+            assert len(cands) == 1, f"ambiguous conv bias in path_{kind}.{idx}"
+            bias = ones.pop(cands[0])
+        p = {"conv": {
+            "kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 1, 0))),
+            "bias": bias,
+        }}
+        if not (kind == "down" and idx == 0):
+            alphas = [v for v in ones.values() if v.shape in ((in_ch,), (1,))]
+            assert len(alphas) == 1, (
+                f"path_{kind}.{idx}: expected one PReLU slope, got "
+                f"{[v.shape for v in ones.values()]}")
+            p["alpha"] = np.broadcast_to(
+                alphas[0], (in_ch,)).astype(np.float32).copy()
+        elif ones:
+            raise ValueError(f"unexpected 1D params in first block: {ones}")
+        return p
+
+    n_down = 1 + max(i for k, i in groups if k == "down")
+    n_up = 1 + max(i for k, i in groups if k == "up")
+    unet = {f"down_{i}": block("down", i) for i in range(n_down)}
+    unet.update({f"up_{j}": block("up", j) for j in range(n_up)})
+    return {"params": {"unet": unet}}
