@@ -139,6 +139,64 @@ def bench_loftr(floor):
     return _measure(run_jit, floor, (variables, im0, im1), B * iters)
 
 
+def bench_ba(floor):
+    """Map-scale bundle adjustment throughput (observations/s).
+
+    256 cameras x 64k landmarks x ~6 observations each, matrix-free PCG
+    Schur solver (sfm/ba.py `solver="pcg"`, VERDICT r4 item 4): 10 LM
+    iterations x 40 CG iterations inside one jit. Metric = processed
+    observations x LM iterations / second — each LM iteration touches every
+    observation in the Jacobian build, the Schur RHS, the CG matvecs, and
+    the back-substitution."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.sfm.ba import bundle_adjust
+    from gluefactory_tpu.sfm.lie import so3_exp
+
+    C, P, V, lm_iters = 256, 65536, 6, 10
+    rng = np.random.RandomState(0)
+    cs = np.arange(C)
+    centers = np.stack([0.4 * cs, 0.05 * np.sin(cs * 0.1), 0.02 * cs], -1)
+    Rs = np.stack([
+        np.asarray(so3_exp(jnp.asarray(
+            [0.01 * rng.randn(), 0.002 * c, 0.01 * rng.randn()],
+            jnp.float32))) for c in cs
+    ])
+    ts = -np.einsum("cij,cj->ci", Rs, centers)
+    anchor = (np.arange(P) * (C - V) // P).astype(np.int64)
+    pts = centers[anchor] + np.stack([
+        rng.randn(P) * 1.5 + 1.2, rng.randn(P), rng.randn(P) * 0.5 + 6.0
+    ], -1)
+    cam_idx = np.clip(anchor[:, None] + np.arange(V)[None], 0, C - 1)
+    q = np.einsum("pvij,pj->pvi", Rs[cam_idx], pts) + ts[cam_idx]
+    uv = q[..., :2] / np.maximum(q[..., 2:3], 1e-6)
+    valid = (q[..., 2] > 0.5) & (np.abs(uv) < 1.5).all(-1)
+    n_obs = int(valid.sum())
+
+    is_fixed = (np.arange(C) == 0) | (np.arange(C) == C - 1)
+    args = (
+        jnp.asarray(Rs, jnp.float32),
+        jnp.asarray(ts + 0.01 * rng.randn(C, 3), jnp.float32),
+        jnp.asarray(pts + 0.01 * rng.randn(P, 3), jnp.float32),
+        jnp.asarray(cam_idx, jnp.int32),
+        jnp.asarray(uv, jnp.float32),
+        jnp.asarray(valid),
+    )
+
+    run_jit = jax.jit(
+        lambda *a: bundle_adjust(
+            *a, fixed_cameras=jnp.asarray(is_fixed), iters=lm_iters,
+            solver="pcg", cg_iters=40,
+        )[3]["cost"]
+    )
+    return _measure(
+        run_jit, floor, args, n_obs * lm_iters,
+        perturb=lambda a, i: (a[0], a[1], a[2].at[0, 0].add(1e-5 * (i + 1)),
+                              a[3], a[4], a[5]),
+    )
+
+
 def _fused_layer_wins():
     """On-chip gate for `lightglue.fused_layer` + `kernel_exit_head`: the
     Pallas paths must COMPILE (Mosaic lowering can fail where interpret mode
@@ -351,12 +409,16 @@ def main():
     )
 
     extra = {"fused_layer": use_fused}
-    for name, fn in (("gluestick", bench_gluestick), ("loftr", bench_loftr)):
+    for key, fn in (
+        ("gluestick_pairs_per_s", bench_gluestick),
+        ("loftr_pairs_per_s", bench_loftr),
+        ("ba_obs_per_s", bench_ba),
+    ):
         try:
-            extra[f"{name}_pairs_per_s"] = round(fn(floor), 2)
+            extra[key] = round(fn(floor), 2)
         except Exception as e:  # secondary metrics never kill the primary
-            extra[f"{name}_pairs_per_s"] = None
-            extra[f"{name}_error"] = str(e)[:200]
+            extra[key] = None
+            extra[key.rsplit("_", 2)[0] + "_error"] = str(e)[:200]
 
     print(
         json.dumps(

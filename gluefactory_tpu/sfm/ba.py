@@ -77,6 +77,137 @@ def _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid, eps=1e-6):
     return r, Jc, Jp
 
 
+def _schur_matvec(x, U, W, Vinv, cam_idx, free, axis_name):
+    """S @ x without materializing S (Ceres ITERATIVE_SCHUR analog).
+
+    S = U - sum_p W_p Vinv_p W_p^T scattered over camera pairs; per track:
+    gather x at observing cameras, contract through the 3x3 point inverse,
+    scatter back. One psum of the (C, 6) result per call when sharded.
+    x: (C, 6). U: (C, 6, 6) damped. W: (P, V, 6, 3). Vinv: (P, 3, 3).
+    """
+    C = x.shape[0]
+    xf = x * free[:, None]
+    x_obs = xf[cam_idx]  # (P, V, 6)
+    a = jnp.einsum("pvij,pvi->pj", W, x_obs)  # (P, 3)
+    b = jnp.einsum("pij,pj->pi", Vinv, a)
+    y = jnp.einsum("pvij,pj->pvi", W, b)  # (P, V, 6)
+    red = jnp.zeros((C, 6)).at[cam_idx.reshape(-1)].add(y.reshape(-1, 6))
+    if axis_name is not None:
+        red = jax.lax.psum(red, axis_name)
+    out = jnp.einsum("cij,cj->ci", U, xf) - red
+    # gauge: identity on fixed cameras
+    return out * free[:, None] + x * (1.0 - free)[:, None]
+
+
+def _schur_diag_blocks(U, W, Vinv, cam_idx, axis_name):
+    """Block-Jacobi preconditioner blocks: diag_c(S) ~= U_cc - sum over
+    observations of W Vinv W^T (the v==w terms; tracks observe a camera at
+    most once, so this IS the exact diagonal for well-formed problems)."""
+    C = U.shape[0]
+    D = jnp.einsum("pvij,pjk,pvlk->pvil", W, Vinv, W)  # (P, V, 6, 6)
+    red = jnp.zeros((C, 6, 6)).at[cam_idx.reshape(-1)].add(
+        D.reshape(-1, 6, 6))
+    if axis_name is not None:
+        red = jax.lax.psum(red, axis_name)
+    return U - red
+
+
+def _pcg_solve(matvec, b, Minv_blocks, iters, tol=1e-8):
+    """Preconditioned CG on the (C, 6) camera update; fixed trip count with
+    masked (converged => frozen) updates — jit/scan friendly, no host sync."""
+    prec = lambda v: jnp.einsum("cij,cj->ci", Minv_blocks, v)
+    dot = lambda u, v: jnp.sum(u * v)
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    z0 = prec(r0)
+    p0 = z0
+    rz0 = dot(r0, z0)
+    bnorm = jnp.maximum(jnp.sqrt(dot(b, b)), 1e-30)
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        live = jnp.sqrt(dot(r, r)) / bnorm > tol
+        Ap = matvec(p)
+        alpha = rz / jnp.maximum(dot(p, Ap), 1e-30)
+        x1 = x + alpha * p
+        r1 = r - alpha * Ap
+        z1 = prec(r1)
+        rz1 = dot(r1, z1)
+        beta = rz1 / jnp.maximum(rz, 1e-30)
+        p1 = z1 + beta * p
+        keep = lambda new, old: jnp.where(live, new, old)
+        return (keep(x1, x), keep(r1, r), keep(p1, p), keep(rz1, rz)), None
+
+    (x, r, _, _), _ = jax.lax.scan(step, (x0, r0, p0, rz0), None, length=iters)
+    return x
+
+
+def _lm_step_pcg(
+    Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name, cg_iters
+):
+    """LM step with a matrix-free PCG Schur solve — map-scale BA.
+
+    Never materializes the (C, C, 6, 6) reduced system nor the
+    (P, V, V, 6, 6) cross terms of `_lm_step`; peak per-track state is the
+    (P, V, 6, 3) coupling blocks. Each CG iteration is one gather + three
+    einsums + one scatter over observations (MXU-friendly batched 6x3
+    contractions) and, sharded, a single (C, 6) psum over ICI.
+    """
+    C = Rs.shape[0]
+    r, Jc, Jp = _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid)
+
+    Vb = jnp.einsum("pvki,pvkj->pij", Jp, Jp)
+    Vb = Vb + lam * jnp.eye(3) * jnp.maximum(
+        jnp.einsum("pii->p", Vb)[:, None, None] / 3.0, 1e-8
+    )
+    gp = jnp.einsum("pvki,pvk->pi", Jp, r)
+    Vinv = jnp.linalg.inv(Vb)
+
+    Ublk = jnp.einsum("pvki,pvkj->pvij", Jc, Jc)
+    U = jnp.zeros((C, 6, 6)).at[cam_idx.reshape(-1)].add(
+        Ublk.reshape(-1, 6, 6)
+    )
+    gc = jnp.zeros((C, 6)).at[cam_idx.reshape(-1)].add(
+        jnp.einsum("pvki,pvk->pvi", Jc, r).reshape(-1, 6)
+    )
+    W = jnp.einsum("pvki,pvkj->pvij", Jc, Jp)  # (P, V, 6, 3)
+    g_schur = gc - jnp.zeros((C, 6)).at[cam_idx.reshape(-1)].add(
+        jnp.einsum("pvij,pjk,pk->pvi", W, Vinv, gp).reshape(-1, 6)
+    )
+    if axis_name is not None:
+        U = jax.lax.psum(U, axis_name)
+        g_schur = jax.lax.psum(g_schur, axis_name)
+
+    U = U + lam * jnp.eye(6) * jnp.maximum(
+        jnp.einsum("cii->c", U)[:, None, None] / 6.0, 1e-8
+    )
+
+    free = (~fixed_cameras).astype(Rs.dtype)
+    b = -g_schur * free[:, None]
+
+    Dblocks = _schur_diag_blocks(U, W, Vinv, cam_idx, axis_name)
+    # fixed cameras: identity preconditioner rows
+    eye6 = jnp.eye(6)
+    Dblocks = jnp.where(free[:, None, None] > 0, Dblocks, eye6)
+    Minv = jnp.linalg.inv(Dblocks)
+
+    matvec = partial(
+        _schur_matvec, U=U, W=W, Vinv=Vinv, cam_idx=cam_idx, free=free,
+        axis_name=axis_name,
+    )
+    dc = _pcg_solve(matvec, b, Minv, cg_iters)
+    dc = dc * free[:, None]
+
+    dc_obs = dc[cam_idx]
+    rhs = gp + jnp.einsum("pvij,pvi->pj", W, dc_obs)
+    dp = -jnp.einsum("pij,pj->pi", Vinv, rhs)
+
+    Rd, td = se3_exp(dc)
+    Rs_new, ts_new = se3_compose(Rd, td, Rs, ts)
+    pts_new = pts + dp
+    return Rs_new, ts_new, pts_new
+
+
 def _lm_step(Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name):
     C = Rs.shape[0]
     r, Jc, Jp = _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid)
@@ -144,15 +275,24 @@ def _lm_step(Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name):
     return Rs_new, ts_new, pts_new
 
 
-def _ba_loop(Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, axis_name):
+def _ba_loop(
+    Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, axis_name,
+    solver="dense", cg_iters=50,
+):
     r0, _ = reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid)
     cost0 = _cost(r0, axis_name)
 
     def step(carry, _):
         Rs, ts, pts, lam, cost = carry
-        Rn, tn, pn = _lm_step(
-            Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name
-        )
+        if solver == "pcg":
+            Rn, tn, pn = _lm_step_pcg(
+                Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras,
+                axis_name, cg_iters,
+            )
+        else:
+            Rn, tn, pn = _lm_step(
+                Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name
+            )
         rn, _ = reprojection_residuals(Rn, tn, pn, cam_idx, uv, valid)
         cn = _cost(rn, axis_name)
         accept = cn < cost
@@ -180,17 +320,24 @@ def bundle_adjust(
     fixed_cameras=None,
     iters: int = 25,
     lam0: float = 1e-3,
+    solver: str = "auto",
+    cg_iters: int = 50,
 ):
     """Single-device LM bundle adjustment. See module docstring for layout.
 
     fixed_cameras: (C,) bool gauge mask (default: camera 0 fixed). Fix >= 2
     cameras (or one camera plus scale by other means) to pin the full gauge.
-    Returns (Rs, ts, pts, info dict).
+    solver: "dense" (explicit (6C)^2 Schur system, exact solve — small maps),
+    "pcg" (matrix-free block-Jacobi-preconditioned CG — map scale), or
+    "auto" (dense up to 64 cameras). Returns (Rs, ts, pts, info dict).
     """
     if fixed_cameras is None:
         fixed_cameras = jnp.arange(Rs.shape[0]) == 0
+    if solver == "auto":
+        solver = "dense" if Rs.shape[0] <= 64 else "pcg"
     return _ba_loop(
-        Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, None
+        Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, None,
+        solver=solver, cg_iters=cg_iters,
     )
 
 
@@ -206,9 +353,13 @@ def bundle_adjust_sharded(
     iters: int = 25,
     lam0: float = 1e-3,
     axis: str = "data",
+    solver: str = "auto",
+    cg_iters: int = 50,
 ):
     """Distributed BA: landmarks sharded over `axis`, camera system reduced
-    with psum over ICI, Schur solve replicated, back-substitution local.
+    with psum over ICI, back-substitution local. With solver="dense" the
+    Schur solve is replicated; with "pcg" each CG iteration exchanges one
+    (C, 6) psum (the matvec's scatter reduction) over ICI.
 
     pts/cam_idx/uv/valid must have their leading (landmark) axis divisible
     by the mesh axis size. Returns the same as `bundle_adjust` (history is
@@ -218,12 +369,17 @@ def bundle_adjust_sharded(
 
     if fixed_cameras is None:
         fixed_cameras = jnp.arange(Rs.shape[0]) == 0
+    if solver == "auto":
+        solver = "dense" if Rs.shape[0] <= 64 else "pcg"
 
     shard = P(axis)
     rep = P()
 
     fn = jax.shard_map(
-        partial(_ba_loop, iters=iters, lam0=lam0, axis_name=axis),
+        partial(
+            _ba_loop, iters=iters, lam0=lam0, axis_name=axis,
+            solver=solver, cg_iters=cg_iters,
+        ),
         mesh=mesh,
         in_specs=(rep, rep, shard, shard, shard, shard, rep),
         out_specs=(rep, rep, shard, rep),

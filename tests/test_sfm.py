@@ -369,3 +369,132 @@ def test_pose_graph_scales_to_long_trajectory():
     # cost decreased monotonically-ish and is finite at scale
     assert np.isfinite(float(info["cost"]))
     assert float(info["cost"]) < float(info["history"][0])
+
+
+def _windowed_scene(rng, C, P, V=6):
+    """Trajectory-style map: cameras along an arc, each landmark observed by
+    a V-camera window around its anchor — the realistic visibility pattern
+    for map-scale BA (contrast `_scene`'s all-cameras-see-all V=C)."""
+    cs = np.arange(C)
+    centers = np.stack([0.4 * cs, 0.05 * np.sin(cs * 0.1), 0.02 * cs], -1)
+    Rs = np.stack([
+        np.asarray(so3_exp(jnp.asarray(
+            [0.01 * rng.randn(), 0.002 * c, 0.01 * rng.randn()], jnp.float32)))
+        for c in cs
+    ])
+    ts = -np.einsum("cij,cj->ci", Rs, centers)
+    anchor = (np.arange(P) * max(C - V, 1) // P).astype(np.int64)
+    pts = centers[anchor] + np.stack([
+        rng.randn(P) * 1.5 + 0.2 * V,
+        rng.randn(P) * 1.0,
+        rng.randn(P) * 0.5 + 6.0,
+    ], -1)
+    cam_idx = np.clip(anchor[:, None] + np.arange(V)[None], 0, C - 1)
+    q = np.einsum("pvij,pj->pvi", Rs[cam_idx], pts) + ts[cam_idx]
+    z = q[..., 2]
+    uv = q[..., :2] / np.maximum(z[..., None], 1e-6)
+    valid = (z > 0.5) & (np.abs(uv) < 1.5).all(-1)
+    keep = valid.sum(1) >= 3
+    # fixed-shape pad back to P so tests keep static shapes
+    pad = P - int(keep.sum())
+    f = jnp.asarray
+    pts, cam_idx, uv, valid = pts[keep], cam_idx[keep], uv[keep], valid[keep]
+    if pad:
+        pts = np.concatenate([pts, np.ones((pad, 3)) * [0, 0, 6.0]], 0)
+        cam_idx = np.concatenate([cam_idx, np.zeros((pad, V), np.int64)], 0)
+        uv = np.concatenate([uv, np.zeros((pad, V, 2))], 0)
+        valid = np.concatenate([valid, np.zeros((pad, V), bool)], 0)
+    return (f(Rs, jnp.float32), f(ts, jnp.float32), f(pts, jnp.float32),
+            f(cam_idx, jnp.int32), f(uv, jnp.float32), f(valid))
+
+
+def _perturbed(rng, Rs, ts, pts, is_fixed, rot=0.005, tr=0.01, pt=0.01):
+    C = Rs.shape[0]
+    dR = so3_exp(jnp.asarray(rng.randn(C, 3) * rot, jnp.float32))
+    Rs0 = jnp.where(is_fixed[:, None, None], Rs, dR @ Rs)
+    ts0 = ts + jnp.where(
+        is_fixed[:, None], 0.0, jnp.asarray(rng.randn(C, 3) * tr, jnp.float32))
+    pts0 = pts + jnp.asarray(rng.randn(*pts.shape) * pt, jnp.float32)
+    return Rs0, ts0, pts0
+
+
+def test_pcg_matches_dense_solver():
+    """The matrix-free PCG Schur path reaches the same optimum as the exact
+    dense solve on a problem small enough to run both."""
+    rng = np.random.RandomState(11)
+    Rs, ts, pts, cam_idx, uv, valid = _windowed_scene(rng, C=24, P=600)
+    C = Rs.shape[0]
+    is_fixed = (jnp.arange(C) == 0) | (jnp.arange(C) == C - 1)
+    Rs0, ts0, pts0 = _perturbed(rng, Rs, ts, pts, is_fixed)
+
+    # both solvers drive the cost to the noise floor and recover the GT
+    # poses (the optimum is unique with a two-camera gauge; comparing the
+    # iterates to EACH OTHER is too strict — f32 LM paths differ along
+    # ill-conditioned directions at equal cost)
+    for solver in ("dense", "pcg"):
+        # 150 CG iters: the 24-camera chain graph needs ~O(C) sweeps
+        # for block-Jacobi CG to move along its flattest directions
+        Rn, tn, pn, info = jax.jit(
+            lambda *a, s=solver: bundle_adjust(
+                *a, fixed_cameras=is_fixed, iters=15, solver=s, cg_iters=150)
+        )(Rs0, ts0, pts0, cam_idx, uv, valid)
+        assert float(info["cost"]) < 1e-6 * float(info["cost0"]) + 1e-12, solver
+        rot_err = np.linalg.norm(
+            np.asarray(se3_log(
+                Rn @ jnp.swapaxes(Rs, -1, -2),
+                tn - jnp.einsum("cij,ckj,ck->ci", Rn, Rs, ts))),
+            axis=-1,
+        )
+        assert float(np.max(rot_err)) < 2e-3, solver
+
+
+def test_bundle_adjust_map_scale_pcg():
+    """Map scale (VERDICT r4 item 4): 256 cameras x 100k landmarks x ~600k
+    observations. The dense path would need a (P, V, V, 6, 6) cross-term
+    tensor and a 1536^2 solve; the PCG path runs it in seconds."""
+    rng = np.random.RandomState(0)
+    C, P = 256, 100_000
+    Rs, ts, pts, cam_idx, uv, valid = _windowed_scene(rng, C=C, P=P)
+    assert int(valid.sum()) > 500_000
+    is_fixed = (jnp.arange(C) == 0) | (jnp.arange(C) == C - 1)
+    Rs0, ts0, pts0 = _perturbed(rng, Rs, ts, pts, is_fixed)
+
+    Rn, tn, pn, info = jax.jit(
+        lambda *a: bundle_adjust(
+            *a, fixed_cameras=is_fixed, iters=10, solver="pcg", cg_iters=40)
+    )(Rs0, ts0, pts0, cam_idx, uv, valid)
+    assert float(info["cost"]) < 1e-6 * float(info["cost0"])
+    # scale-aware recovery: rotation angle, and camera centers relative to
+    # the ~100-unit trajectory extent (the se3_log twist norm is
+    # meaningless here — a 1e-3 rotation composed with |t| ~ 100 dominates)
+    Rn_, Rs_ = np.asarray(Rn), np.asarray(Rs)
+    ang = np.arccos(np.clip(
+        (np.einsum("cii->c", Rn_ @ Rs_.transpose(0, 2, 1)) - 1) / 2, -1, 1))
+    cn = -np.einsum("cji,cj->ci", Rn_, np.asarray(tn))
+    cg = -np.einsum("cji,cj->ci", Rs_, np.asarray(ts))
+    extent = np.abs(cg).max()
+    assert float(ang.max()) < 1e-2
+    assert float(np.linalg.norm(cn - cg, axis=-1).max()) < 5e-3 * extent
+
+
+def test_bundle_adjust_sharded_pcg_matches():
+    """Sharded PCG (per-CG-iteration (C, 6) psum) == single-device PCG."""
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.sfm.ba import bundle_adjust_sharded
+
+    rng = np.random.RandomState(5)
+    Rs, ts, pts, cam_idx, uv, valid = _windowed_scene(rng, C=48, P=4000)
+    C = Rs.shape[0]
+    is_fixed = (jnp.arange(C) == 0) | (jnp.arange(C) == C - 1)
+    Rs0, ts0, pts0 = _perturbed(rng, Rs, ts, pts, is_fixed)
+
+    mesh = make_mesh(data=8, model=1)
+    kw = dict(fixed_cameras=is_fixed, iters=10, solver="pcg", cg_iters=40)
+    Rd, td, pd, info_d = bundle_adjust(
+        Rs0, ts0, pts0, cam_idx, uv, valid, **kw)
+    Rsh, tsh, psh, info_s = bundle_adjust_sharded(
+        mesh, Rs0, ts0, pts0, cam_idx, uv, valid, **kw)
+    # f32 psum reduction order shifts the CG trajectory slightly
+    np.testing.assert_allclose(np.asarray(Rsh), np.asarray(Rd), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(tsh), np.asarray(td), atol=2e-4)
+    assert float(info_s["cost"]) < 1e-6 * float(info_s["cost0"]) + 1e-12
