@@ -107,9 +107,14 @@ def bench_gluestick(floor):
 def bench_loftr(floor):
     """LoFTR dense matcher on full 640x480 image pairs, B=8.
 
-    B=8 per the on-chip sweep (scripts/bench_loftr_batch.py, one process):
-    B=2 65.8, B=4 61.8, B=8 85.0, B=16 84.9 pairs/s — same MXU-occupancy
-    cliff shape as the flagship's conv stages."""
+    B=8 per the on-chip sweep (scripts/bench_loftr_batch.py, one process,
+    PRE-log-space-selection code: B=2 65.8, B=4 61.8, B=8 85.0, B=16 84.9
+    pairs/s — same MXU-occupancy cliff shape as the flagship's conv
+    stages). The end-of-r4 log-space mutual-NN selection then lifted B=8 to
+    ~197-211: reconciled by the one-process A/B in
+    scripts/bench_loftr_recon.py (log_space 196.9 vs explicit_P 88.8
+    pairs/s, same process, translation-anchor precision 1.0) — the r4
+    driver capture of 210.6 was real, not a tunnel artifact."""
     import jax
     import jax.numpy as jnp
 

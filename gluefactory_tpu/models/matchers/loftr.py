@@ -335,6 +335,10 @@ class LoFTR(BaseModel):
         "fine_window": 5,        # fine correlation window (odd)
         "max_num_matches": 1024,  # fixed-K output (static shapes)
         "conf_threshold": 0.2,   # coarse confidence filter
+        "log_space_select": True,  # fused-reduction mutual-NN selection
+                                   # (False = materialize P, the pre-r4
+                                   # path, kept for the perf A/B; exact
+                                   # equivalence: test_log_space_selection)
         "loss": {
             "focal_gamma": 2.0,
             "fine_weight": 1.0,
@@ -489,8 +493,15 @@ class LoFTR(BaseModel):
         sim = self._similarity(x0, x1)  # (B, N, M)
         B, N, M = sim.shape
 
-        # mutual-nearest + threshold, in log space (never materializes P)
-        j_best, i_best, conf = coarse_select(sim)
+        # mutual-nearest + threshold via fused log-space reductions (or the
+        # pre-r4 explicit-P path when log_space_select is off)
+        if c.log_space_select:
+            j_best, i_best, conf = coarse_select(sim)
+        else:
+            P = jax.nn.softmax(sim, axis=1) * jax.nn.softmax(sim, axis=2)
+            j_best = jnp.argmax(P, axis=2)
+            conf = jnp.max(P, axis=2)
+            i_best = jnp.argmax(P, axis=1)
         mutual = jnp.take_along_axis(i_best, j_best, axis=1) == jnp.arange(N)[None]
         ok = mutual & (conf > c.conf_threshold)
         score = jnp.where(ok, conf, 0.0)

@@ -8,7 +8,11 @@ The reference has no SfM back-end — two-view estimation is its ceiling
 extension the north star asks for.
 """
 
-from .triangulation import triangulate_nview, triangulate_two_view  # noqa: F401
+from .triangulation import (  # noqa: F401
+    triangulate_nview,
+    triangulate_tracks,
+    triangulate_two_view,
+)
 from .ba import bundle_adjust, reprojection_residuals  # noqa: F401
 from .pose_graph import optimize_pose_graph  # noqa: F401
 from .odometry import (  # noqa: F401
@@ -16,3 +20,4 @@ from .odometry import (  # noqa: F401
     relative_poses_from_matches,
     trajectory_ate,
 )
+from .tracks import build_tracks, gather_observations  # noqa: F401

@@ -85,3 +85,36 @@ def triangulate_nview(
     ok = jnp.sum(valid, axis=1) >= 2
     ok = ok & jnp.all((z > 0) | ~valid, axis=1)
     return pts, ok
+
+
+def triangulate_tracks(
+    Rs: jnp.ndarray,
+    ts: jnp.ndarray,
+    cam_idx: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+):
+    """Track-major N-view DLT: like `triangulate_nview` but observation slot
+    (p, v) refers to camera `cam_idx[p, v]` (the `sfm/tracks.py` /
+    `sfm/ba.py` layout) instead of column v == camera v.
+
+    Rs: (C, 3, 3), ts: (C, 3); cam_idx: (P, V); obs: (P, V, 2) normalized;
+    valid: (P, V). Returns (points (P, 3) world, ok (P,)).
+    """
+    Pmat = jnp.concatenate([Rs, ts[:, :, None]], axis=-1)[cam_idx]  # (P,V,3,4)
+    x = obs[..., 0][..., None]
+    y = obs[..., 1][..., None]
+    r0 = Pmat[:, :, 0, :] - x * Pmat[:, :, 2, :]  # (P, V, 4)
+    r1 = Pmat[:, :, 1, :] - y * Pmat[:, :, 2, :]
+    rows = jnp.concatenate([r0, r1], axis=1)
+    w = jnp.concatenate([valid, valid], axis=1).astype(rows.dtype)[..., None]
+    rows = rows * w
+    AtA = jnp.einsum("pvi,pvj->pij", rows, rows)
+    _, vecs = jnp.linalg.eigh(AtA)
+    Xh = vecs[..., 0]
+    denom = Xh[..., 3:4]
+    pts = Xh[..., :3] / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    z = jnp.einsum("pvj,pj->pv", Pmat[:, :, 2, :3], pts) + Pmat[:, :, 2, 3]
+    ok = jnp.sum(valid, axis=1) >= 2
+    ok = ok & jnp.all((z > 0) | ~valid, axis=1)
+    return pts, ok

@@ -47,6 +47,11 @@ default_train_conf = {
     "lr_scaling": [],
     "eval_every_iter": 1000,
     "save_every_iter": 5000,
+    # End-of-epoch checkpointing (reference behavior). On short synthetic
+    # epochs through the axon tunnel one save (a full device_get of
+    # params+opt_state) can cost ~10x the epoch's compute — set False and
+    # rely on save_every_iter/eval saves for such runs.
+    "save_every_epoch": True,
     "log_every_iter": 200,
     "log_grad_every_iter": None,
     "keep_last_checkpoints": 10,
@@ -806,7 +811,10 @@ def training(conf: Config, output_dir: Path, args=None):
                     break
             # end-of-epoch checkpoint (reference `train.py` saves every
             # epoch; eval-linked saves alone can miss short runs entirely)
-            if is_leader and n_iter > start_iter:
+            if (
+                is_leader and n_iter > start_iter
+                and train_conf.get("save_every_epoch", True)
+            ):
                 best_eval = save_experiment(
                     output_dir,
                     jax.device_get(
