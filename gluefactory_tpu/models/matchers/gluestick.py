@@ -103,13 +103,18 @@ class GSLayer(nn.Module):
     dim: int
     num_heads: int
     dtype: str = "float32"
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, carry, _):
         x0, x1, mask0, mask1, lj0, lj1, lv0, lv1 = carry
-        self_prop = AttentionalPropagation(self.dim, self.num_heads, "layer", self.dtype, name="self")
+        self_prop = AttentionalPropagation(
+            self.dim, self.num_heads, "layer", self.dtype,
+            fused_qkv=self.fused_qkv, same_source=True, name="self")
         line_layer = LineMessageLayer(self.dim, name="line")
-        cross_prop = AttentionalPropagation(self.dim, self.num_heads, "layer", self.dtype, name="cross")
+        cross_prop = AttentionalPropagation(
+            self.dim, self.num_heads, "layer", self.dtype,
+            fused_qkv=self.fused_qkv, name="cross")
         x0 = self_prop(x0, x0, mask0)
         x1 = self_prop(x1, x1, mask1)
         x0 = line_layer(x0, lj0, lv0)
@@ -131,6 +136,7 @@ class GlueStick(BaseModel):
         "filter_threshold": 0.2,
         "line_filter_threshold": 0.2,
         "dtype": "float32",  # "bfloat16": GNN compute on the MXU
+        "fused_qkv": False,  # concatenated q/k/v projections (exact)
         # layer indices (into the L scan steps) with extra line supervision
         # (reference `gluestick.py:38,96-107`; None = off)
         "inter_supervision": None,
@@ -165,7 +171,7 @@ class GlueStick(BaseModel):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=c.n_layers,
-        )(D, c.num_heads, c.dtype, name="gnn")
+        )(D, c.num_heads, c.dtype, c.fused_qkv, name="gnn")
         self.final_proj = nn.Dense(D, name="final_proj")
         self.final_line_proj = nn.Dense(D, name="final_line_proj")
         self.bin_score = self.param("bin_score", nn.initializers.constant(1.0), ())

@@ -51,6 +51,14 @@ class AttentionalPropagation(nn.Module):
     num_heads: int
     norm: str = "layer"
     dtype: str = "float32"
+    # One concatenated projection matmul instead of three (exact — the
+    # fused kernel is the column-concatenation of q|k|v, see
+    # tests/test_gluestick_fused.py). `same_source` marks self-attention
+    # (q and k/v share the input, one 3D-wide matmul); cross-attention
+    # fuses k|v only. Off by default pending the on-chip A/B
+    # (scripts/bench_gluestick_ab.py).
+    fused_qkv: bool = False
+    same_source: bool = False
 
     @nn.compact
     def __call__(self, x, source, mask_src):
@@ -59,9 +67,20 @@ class AttentionalPropagation(nn.Module):
         dt = jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
         x = x.astype(dt)
         source = source.astype(dt)
-        q = nn.Dense(D, dtype=dt, name="q")(x).reshape(B, N, H, D // H).transpose(0, 2, 1, 3)
-        k = nn.Dense(D, dtype=dt, name="k")(source).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
-        v = nn.Dense(D, dtype=dt, name="v")(source).reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        if self.fused_qkv and self.same_source:
+            qkv = nn.Dense(3 * D, dtype=dt, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif self.fused_qkv:
+            q = nn.Dense(D, dtype=dt, name="q")(x)
+            kv = nn.Dense(2 * D, dtype=dt, name="kv")(source)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = nn.Dense(D, dtype=dt, name="q")(x)
+            k = nn.Dense(D, dtype=dt, name="k")(source)
+            v = nn.Dense(D, dtype=dt, name="v")(source)
+        q = q.reshape(B, N, H, D // H).transpose(0, 2, 1, 3)
+        k = k.reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
+        v = v.reshape(B, -1, H, D // H).transpose(0, 2, 1, 3)
         msg = masked_attention(q, k, v, mask_src)
         msg = msg.transpose(0, 2, 1, 3).reshape(B, N, D).astype(dt)
         msg = nn.Dense(D, dtype=dt, name="merge")(msg)

@@ -133,3 +133,49 @@ def test_visualize_kp_rotation_script(tmp_path, capsys):
     assert any(n.endswith("_plain.png") for n in pngs)
     assert any(n.endswith("_rot.png") for n in pngs)
     assert "total matches" in capsys.readouterr().out
+
+
+def test_rotation_compare_figures():
+    """`visualization/rotation_compare.py` (fork
+    `visualization/rotation_compare.py:44-117` analog): two-row
+    rotated-vs-original figure with GT-colored matches."""
+    import numpy as np
+
+    from gluefactory_tpu.visualization.rotation_compare import (
+        make_rotation_compare_figures,
+        rotate_image,
+    )
+
+    rng = np.random.RandomState(0)
+    B, N = 2, 16
+    data = {
+        "view0": {"image": rng.rand(B, 24, 32, 1).astype(np.float32)},
+        "view1": {"image": rng.rand(B, 24, 32, 1).astype(np.float32)},
+    }
+
+    def fake_pred(with_gt, with_angle):
+        p = {
+            "keypoints0": rng.rand(B, N, 2) * 24,
+            "keypoints1": rng.rand(B, N, 2) * 24,
+            "matches0": rng.randint(-1, N, (B, N)),
+        }
+        if with_gt:
+            p["gt_matches0"] = rng.randint(-2, N, (B, N))
+        if with_angle:
+            p["kp_rotation_angle"] = rng.rand(B) * 3.14
+        return p
+
+    figs = make_rotation_compare_figures(
+        fake_pred(True, True), fake_pred(False, False), data, n_pairs=2)
+    assert len(figs) == 2
+    # title carries the rotation angle and ok/bad counts
+    t = figs[0].axes[0].get_title(loc="left")
+    assert "rot" in t and "deg" in t
+
+    # rotation by 0 is identity (up to border interpolation)
+    img = rng.rand(24, 32).astype(np.float32)
+    np.testing.assert_allclose(
+        rotate_image(img, 0.0, (16, 12)), img, atol=1e-6)
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
