@@ -66,7 +66,9 @@ def main():
             if fused:
                 from tests.test_gluestick_fused import _fuse_params
 
-                variables = _fuse_params(base_vars)
+                # jnp-ify: _fuse_params returns a numpy tree, which would
+                # re-upload all weights through the tunnel on every call
+                variables = jax.tree.map(jnp.asarray, _fuse_params(base_vars))
             else:
                 variables = base_vars
 
