@@ -53,7 +53,13 @@ def _measure(run_jit, floor, args, n_pairs, reps=7, perturb=None):
 
 
 def bench_gluestick(floor):
-    """GlueStick matcher (points + lines) at 1024 kpts / 256 lines, B=8."""
+    """GlueStick matcher (points + lines) at 1024 kpts / 256 lines, B=8.
+
+    Config per the r5 one-process A/B (scripts/bench_gluestick_ab.py,
+    GS_AB_r05.json): bf16 unfused 816.5 / bf16 fused-QKV 793.1 / f32
+    unfused 760.5 / f32 fused 747.4 pairs/s — bf16 without fused_qkv wins;
+    fused projections lose ~3% (the same split-layout cost seen in the
+    LoFTR fused_qkv A/B) and stay a tested off-by-default option."""
     import jax
     import jax.numpy as jnp
 
