@@ -45,7 +45,16 @@ def load_model(model_conf: Config | None, checkpoint: str | None):
     if checkpoint:
         from ..utils.experiments import load_experiment
 
-        model, variables, _ = load_experiment(checkpoint, conf=model_conf)
+        # eval default confs carry `name: None` placeholders ("use the
+        # checkpoint's model"); merging them verbatim would clobber the
+        # stored model name. Drop None names at the top level only —
+        # nested `ground_truth: {name: None}` is a deliberate "disable
+        # GT generation for eval" override and must survive.
+        od = model_conf.to_dict() if model_conf is not None else {}
+        if od.get("name") is None:
+            od.pop("name", None)
+        od.pop("checkpoint", None)  # routing key, not a model-conf key
+        model, variables, _ = load_experiment(checkpoint, conf=od)
         return model, variables
     assert model_conf is not None and model_conf.get("name"), "no model conf"
     model = get_model(model_conf["name"]).from_conf(model_conf)
