@@ -130,3 +130,47 @@ def test_hpatches_eval_with_loftr(fake_hpatches, tmp_path, monkeypatch):
     # matches -> export -> de-scale -> RANSAC -> summaries) must run
     assert "mprec@3px" in s and "H_error_ransac@1px" in s
     assert np.isfinite(s["mnum_matches"])
+
+
+def test_load_model_from_checkpoint_with_placeholder_conf(tmp_path):
+    """Eval default confs ship `model: {name: None, checkpoint: <exp>}`
+    placeholders; loading a trained experiment through them must use the
+    STORED model name and drop the routing keys (regression: the None name
+    used to clobber the checkpoint's conf, r5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gluefactory_tpu.core.config import Config
+    from gluefactory_tpu.eval.io import load_model
+    from gluefactory_tpu.models import get_model
+    from gluefactory_tpu.utils.experiments import save_experiment
+
+    conf = Config({
+        "model": {
+            "name": "nearest_neighbor",
+            "ratio_thresh": 0.9,
+            "mutual_check": True,
+        }
+    })
+    model = get_model("nearest_neighbor").from_conf(conf["model"])
+    rng = np.random.RandomState(0)
+    data = {
+        "descriptors0": jnp.asarray(rng.randn(1, 16, 8), jnp.float32),
+        "descriptors1": jnp.asarray(rng.randn(1, 16, 8), jnp.float32),
+    }
+    variables = model.init(jax.random.PRNGKey(0), data, train=False)
+    exp_dir = tmp_path / "exp"
+    save_experiment(
+        exp_dir, {"params": jax.device_get(variables)}, conf=conf, step=1,
+        cur_eval=1.0,
+    )
+
+    # (the real eval confs also carry ground_truth.name None, which only
+    # applies to pipeline models — exercised by the CLI smoke runs)
+    placeholder = Config(
+        {"name": None, "checkpoint": str(exp_dir / "checkpoint_best")})
+    loaded, lvars = load_model(
+        placeholder, str(exp_dir / "checkpoint_best"))
+    assert type(loaded).__name__ == "NearestNeighborMatcher"
+    pred = loaded.apply(lvars, data, train=False)
+    assert pred["matches0"].shape == (1, 16)
