@@ -45,17 +45,47 @@ def reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid, eps=1e-6):
     return r, q
 
 
-def _cost(r, axis_name=None):
-    c = 0.5 * jnp.sum(r * r)
+def _cost(r, axis_name=None, huber_delta=None, robust="huber"):
+    if huber_delta is None:
+        c = 0.5 * jnp.sum(r * r)
+    elif robust == "cauchy":
+        n2 = jnp.sum(r * r, axis=-1)
+        c = jnp.sum(0.5 * huber_delta**2 * jnp.log1p(n2 / huber_delta**2))
+    else:
+        n = jnp.linalg.norm(r, axis=-1)  # (P, V)
+        quad = 0.5 * n * n
+        lin = huber_delta * (n - 0.5 * huber_delta)
+        c = jnp.sum(jnp.where(n <= huber_delta, quad, lin))
     if axis_name is not None:
         c = jax.lax.psum(c, axis_name)
     return c
 
 
-def _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid, eps=1e-6):
+def _robust_weights(r, delta, kind):
+    """IRLS weights per observation (|r| = 2D reprojection norm). Scaling r
+    and J by sqrt(w) makes the LM normal equations those of the
+    robustified problem.
+
+    huber:  w = min(1, delta/|r|)      (convex, linear tail — Ceres
+            HuberLoss; gross outliers retain linear influence)
+    cauchy: w = 1 / (1 + (|r|/delta)^2) (redescending — outliers' influence
+            goes to zero; non-convex, needs a reasonable init)
+    """
+    n = jnp.linalg.norm(r, axis=-1)  # (P, V)
+    if kind == "huber":
+        return jnp.minimum(1.0, delta / jnp.maximum(n, 1e-12))
+    assert kind == "cauchy", kind
+    return 1.0 / (1.0 + (n / delta) ** 2)
+
+
+def _build_normal_blocks(
+    Rs, ts, pts, cam_idx, uv, valid, eps=1e-6, huber_delta=None,
+    robust="huber",
+):
     """Jacobian blocks for every observation.
 
-    Returns r (P,V,2), Jc (P,V,2,6) [v,w] left-SE(3), Jp (P,V,2,3).
+    Returns r (P,V,2), Jc (P,V,2,6) [v,w] left-SE(3), Jp (P,V,2,3); with
+    huber_delta set, all three are sqrt(w)-scaled (IRLS robustification).
     """
     r, q = reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid, eps)
     z = jnp.maximum(q[..., 2], eps)
@@ -74,6 +104,11 @@ def _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid, eps=1e-6):
     # camera: q' = q + dv + dw x q  ->  dq/ddv = I, dq/ddw = -hat(q)
     Jc = jnp.concatenate([dpq, -jnp.einsum("pvij,pvjk->pvik", dpq, hat(q))], -1)
     Jp = jnp.einsum("pvij,pvjk->pvik", dpq, Rs[cam_idx])
+    if huber_delta is not None:
+        sw = jnp.sqrt(_robust_weights(r, huber_delta, robust))[..., None]
+        r = r * sw
+        Jc = Jc * sw[..., None]
+        Jp = Jp * sw[..., None]
     return r, Jc, Jp
 
 
@@ -143,7 +178,8 @@ def _pcg_solve(matvec, b, Minv_blocks, iters, tol=1e-8):
 
 
 def _lm_step_pcg(
-    Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name, cg_iters
+    Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name, cg_iters,
+    huber_delta=None, robust="huber",
 ):
     """LM step with a matrix-free PCG Schur solve — map-scale BA.
 
@@ -154,7 +190,9 @@ def _lm_step_pcg(
     contractions) and, sharded, a single (C, 6) psum over ICI.
     """
     C = Rs.shape[0]
-    r, Jc, Jp = _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid)
+    r, Jc, Jp = _build_normal_blocks(
+        Rs, ts, pts, cam_idx, uv, valid, huber_delta=huber_delta,
+        robust=robust)
 
     Vb = jnp.einsum("pvki,pvkj->pij", Jp, Jp)
     Vb = Vb + lam * jnp.eye(3) * jnp.maximum(
@@ -208,9 +246,14 @@ def _lm_step_pcg(
     return Rs_new, ts_new, pts_new
 
 
-def _lm_step(Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name):
+def _lm_step(
+    Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name,
+    huber_delta=None, robust="huber",
+):
     C = Rs.shape[0]
-    r, Jc, Jp = _build_normal_blocks(Rs, ts, pts, cam_idx, uv, valid)
+    r, Jc, Jp = _build_normal_blocks(
+        Rs, ts, pts, cam_idx, uv, valid, huber_delta=huber_delta,
+        robust=robust)
 
     # point blocks (shard-local)
     Vb = jnp.einsum("pvki,pvkj->pij", Jp, Jp)  # (P, 3, 3)
@@ -277,24 +320,26 @@ def _lm_step(Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name):
 
 def _ba_loop(
     Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, axis_name,
-    solver="dense", cg_iters=50,
+    solver="dense", cg_iters=50, huber_delta=None, robust="huber",
 ):
     r0, _ = reprojection_residuals(Rs, ts, pts, cam_idx, uv, valid)
-    cost0 = _cost(r0, axis_name)
+    cost0 = _cost(r0, axis_name, huber_delta, robust)
 
     def step(carry, _):
         Rs, ts, pts, lam, cost = carry
         if solver == "pcg":
             Rn, tn, pn = _lm_step_pcg(
                 Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras,
-                axis_name, cg_iters,
+                axis_name, cg_iters, huber_delta=huber_delta,
+                robust=robust,
             )
         else:
             Rn, tn, pn = _lm_step(
-                Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras, axis_name
+                Rs, ts, pts, cam_idx, uv, valid, lam, fixed_cameras,
+                axis_name, huber_delta=huber_delta, robust=robust,
             )
         rn, _ = reprojection_residuals(Rn, tn, pn, cam_idx, uv, valid)
-        cn = _cost(rn, axis_name)
+        cn = _cost(rn, axis_name, huber_delta, robust)
         accept = cn < cost
         lam = jnp.where(accept, jnp.maximum(lam * 0.3, 1e-9), lam * 5.0)
         pick = lambda a, b: jnp.where(accept, a, b)
@@ -322,6 +367,8 @@ def bundle_adjust(
     lam0: float = 1e-3,
     solver: str = "auto",
     cg_iters: int = 50,
+    huber_delta: float | None = None,
+    robust: str = "huber",
 ):
     """Single-device LM bundle adjustment. See module docstring for layout.
 
@@ -329,7 +376,10 @@ def bundle_adjust(
     cameras (or one camera plus scale by other means) to pin the full gauge.
     solver: "dense" (explicit (6C)^2 Schur system, exact solve — small maps),
     "pcg" (matrix-free block-Jacobi-preconditioned CG — map scale), or
-    "auto" (dense up to 64 cameras). Returns (Rs, ts, pts, info dict).
+    "auto" (dense up to 64 cameras). huber_delta: Huber kernel width in
+    normalized-coordinate units (IRLS robustification; None = pure L2 —
+    Ceres `HuberLoss` analog for outlier-contaminated tracks).
+    Returns (Rs, ts, pts, info dict).
     """
     if fixed_cameras is None:
         fixed_cameras = jnp.arange(Rs.shape[0]) == 0
@@ -337,7 +387,8 @@ def bundle_adjust(
         solver = "dense" if Rs.shape[0] <= 64 else "pcg"
     return _ba_loop(
         Rs, ts, pts, cam_idx, uv, valid, fixed_cameras, iters, lam0, None,
-        solver=solver, cg_iters=cg_iters,
+        solver=solver, cg_iters=cg_iters, huber_delta=huber_delta,
+        robust=robust,
     )
 
 
@@ -355,6 +406,8 @@ def bundle_adjust_sharded(
     axis: str = "data",
     solver: str = "auto",
     cg_iters: int = 50,
+    huber_delta: float | None = None,
+    robust: str = "huber",
 ):
     """Distributed BA: landmarks sharded over `axis`, camera system reduced
     with psum over ICI, back-substitution local. With solver="dense" the
@@ -378,7 +431,8 @@ def bundle_adjust_sharded(
     fn = jax.shard_map(
         partial(
             _ba_loop, iters=iters, lam0=lam0, axis_name=axis,
-            solver=solver, cg_iters=cg_iters,
+            solver=solver, cg_iters=cg_iters, huber_delta=huber_delta,
+            robust=robust,
         ),
         mesh=mesh,
         in_specs=(rep, rep, shard, shard, shard, shard, rep),

@@ -498,3 +498,59 @@ def test_bundle_adjust_sharded_pcg_matches():
     np.testing.assert_allclose(np.asarray(Rsh), np.asarray(Rd), atol=2e-4)
     np.testing.assert_allclose(np.asarray(tsh), np.asarray(td), atol=2e-4)
     assert float(info_s["cost"]) < 1e-6 * float(info_s["cost0"]) + 1e-12
+
+
+def test_bundle_adjust_robust_resists_outliers():
+    """5% of observations corrupted by gross noise: robust IRLS BA beats
+    plain L2 (Huber, convex) and recovers GT cleanly with the redescending
+    Cauchy kernel (Ceres HuberLoss/CauchyLoss analogs)."""
+    rng = np.random.RandomState(21)
+    Rs, ts, pts, cam_idx, uv, valid = _windowed_scene(rng, C=24, P=800)
+    C = Rs.shape[0]
+    # corrupt 5% of valid observations with large offsets
+    v = np.asarray(valid)
+    corrupt = (rng.rand(*v.shape) < 0.05) & v
+    uv_bad = np.asarray(uv) + corrupt[..., None] * rng.uniform(
+        0.2, 0.5, uv.shape) * rng.choice([-1, 1], uv.shape)
+    uv_bad = jnp.asarray(uv_bad, jnp.float32)
+
+    is_fixed = (jnp.arange(C) == 0) | (jnp.arange(C) == C - 1)
+    Rs0, ts0, pts0 = _perturbed(rng, Rs, ts, pts, is_fixed)
+
+    def rot_err(Rn, tn):
+        Rn_, Rs_ = np.asarray(Rn), np.asarray(Rs)
+        ang = np.arccos(np.clip(
+            (np.einsum("cii->c", Rn_ @ Rs_.transpose(0, 2, 1)) - 1) / 2,
+            -1, 1))
+        return float(ang.max())
+
+    Rh, th, ph, info_h = jax.jit(
+        lambda *a: bundle_adjust(
+            *a, fixed_cameras=is_fixed, iters=20, solver="pcg",
+            cg_iters=150, huber_delta=0.01)
+    )(Rs0, ts0, pts0, cam_idx, uv_bad, valid)
+    Rcau, tcau, _, _ = jax.jit(
+        lambda *a: bundle_adjust(
+            *a, fixed_cameras=is_fixed, iters=20, solver="pcg",
+            cg_iters=150, huber_delta=0.01, robust="cauchy")
+    )(Rs0, ts0, pts0, cam_idx, uv_bad, valid)
+    Rl, tl, pl, info_l = jax.jit(
+        lambda *a: bundle_adjust(
+            *a, fixed_cameras=is_fixed, iters=20, solver="pcg",
+            cg_iters=150)
+    )(Rs0, ts0, pts0, cam_idx, uv_bad, valid)
+
+    e_h, e_l = rot_err(Rh, th), rot_err(Rl, tl)
+    e_c = rot_err(Rcau, tcau)
+    # Huber's linear tail still admits gross-outlier influence; Cauchy's
+    # redescending weights drive it to zero
+    assert e_h < 0.5 * e_l, (e_h, e_l)
+    assert e_c < 0.5 * e_h, (e_c, e_h, e_l)
+    assert e_c < 5e-3, (e_c, e_h, e_l)
+    # clean-data sanity: huber == L2 solution when no residual exceeds delta
+    Rc, tc, pc, _ = jax.jit(
+        lambda *a: bundle_adjust(
+            *a, fixed_cameras=is_fixed, iters=15, solver="dense",
+            huber_delta=10.0)
+    )(Rs0, ts0, pts0, cam_idx, uv, valid)
+    assert rot_err(Rc, tc) < 2e-3
