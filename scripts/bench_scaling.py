@@ -203,9 +203,67 @@ def tp_sweep(kpts_list=(2048, 4096), n_layers=3, D=256):
     return rows
 
 
+def ba_scaling(C=64, P=65536, V=6, lm_iters=5, cg=30):
+    """Sharded map-scale BA over 1/2/4/8-device landmark shards (r5): the
+    matrix-free PCG path exchanges one (C, 6) psum per CG iteration plus
+    the per-LM-step U/g reductions. Reports step time + HLO collective
+    bytes per mesh size, and the single-device result delta (exactness)."""
+    from gluefactory_tpu.parallel.mesh import make_mesh
+    from gluefactory_tpu.sfm.ba import bundle_adjust, bundle_adjust_sharded
+    from gluefactory_tpu.sfm.lie import so3_exp
+
+    rng = np.random.RandomState(0)
+    cs = np.arange(C)
+    centers = np.stack([0.4 * cs, 0.05 * np.sin(cs * 0.1), 0.02 * cs], -1)
+    Rs = np.stack([
+        np.asarray(so3_exp(jnp.asarray(
+            [0.01 * rng.randn(), 0.002 * c, 0.01 * rng.randn()],
+            jnp.float32))) for c in cs])
+    ts = -np.einsum("cij,cj->ci", Rs, centers)
+    anchor = (np.arange(P) * (C - V) // P).astype(np.int64)
+    pts = centers[anchor] + np.stack([
+        rng.randn(P) * 1.5 + 1.2, rng.randn(P), rng.randn(P) * 0.5 + 6.0], -1)
+    cam_idx = np.clip(anchor[:, None] + np.arange(V)[None], 0, C - 1)
+    q = np.einsum("pvij,pj->pvi", Rs[cam_idx], pts) + ts[cam_idx]
+    uv = q[..., :2] / np.maximum(q[..., 2:3], 1e-6)
+    valid = (q[..., 2] > 0.5) & (np.abs(uv) < 1.5).all(-1)
+    n_obs = int(valid.sum())
+    fixed = jnp.asarray((np.arange(C) == 0) | (np.arange(C) == C - 1))
+    args = (
+        jnp.asarray(Rs, jnp.float32),
+        jnp.asarray(ts + 0.01 * rng.randn(C, 3), jnp.float32),
+        jnp.asarray(pts + 0.01 * rng.randn(P, 3), jnp.float32),
+        jnp.asarray(cam_idx, jnp.int32),
+        jnp.asarray(uv, jnp.float32),
+        jnp.asarray(valid),
+    )
+    kw = dict(fixed_cameras=fixed, iters=lm_iters, solver="pcg", cg_iters=cg)
+
+    ref = jax.jit(lambda *a: bundle_adjust(*a, **kw))( *args)
+    ref_R = np.asarray(ref[0])
+    rows = []
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        fn = jax.jit(lambda *a, m=mesh: bundle_adjust_sharded(m, *a, **kw))
+        lowered = fn.lower(*args).compile()
+        coll = collective_bytes(lowered.as_text())
+        t = time_steps(lambda *a: fn(*a)[3]["cost"], args)
+        out = fn(*args)
+        err = float(np.abs(np.asarray(out[0]) - ref_R).max())
+        rows.append({
+            "devices": n,
+            "step_s": round(t, 4),
+            "collective_bytes": coll.get("total", 0),
+            "max_R_delta_vs_single": err,
+            "n_obs": n_obs,
+        })
+    return rows
+
+
 def main():
     dp_rows, param_bytes = dp_scaling()
     tp_rows = tp_sweep()
+    ba_rows = ba_scaling()
     out = {
         "protocol": (
             "strong scaling at fixed global batch on a shared-core virtual "
@@ -216,6 +274,7 @@ def main():
         "param_bytes": param_bytes,
         "dp": dp_rows,
         "tp_lightglue": tp_rows,
+        "ba_sharded": ba_rows,
     }
     rnd = sys.argv[sys.argv.index("--round") + 1] if "--round" in sys.argv else "04"
     path = Path(__file__).resolve().parent.parent / f"SCALING_r{rnd}.json"
