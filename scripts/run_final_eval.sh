@@ -39,3 +39,7 @@ EOF
 echo "=== variant accuracy deltas ===" >&2
 timeout 3000 python scripts/quantify_variants.py "$exp" 4 > VARIANTS_r05.json
 cat VARIANTS_r05.json
+
+echo "=== adaptive-depth speed A/B (trained ckpt, structured pairs) ===" >&2
+timeout 2400 python scripts/bench_adaptive.py "$exp" > ADAPTIVE_r05.json || true
+cat ADAPTIVE_r05.json 2>/dev/null || true
