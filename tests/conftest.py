@@ -23,8 +23,15 @@ assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
 
 # Persistent compilation cache: XLA compiles dominate test time on small CPUs
-# (~0.5s per distinct op); cache them across runs.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# (~0.5s per distinct op); cache them across runs. The cache is keyed per
+# environment MODE: processes run with the axon plugin on PYTHONPATH detect
+# different CPU machine features than plugin-bypassed ones
+# (`PYTHONPATH= JAX_PLATFORMS=cpu`, the tunnel-outage recipe), and loading
+# the other mode's AOT entries can SIGILL/segfault (observed r5:
+# cpu_aot_loader "+prefer-no-scatter not supported on the host machine").
+_mode = "" if "axon" in os.environ.get("PYTHONPATH", "") else "_cpu"
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), "..", f".jax_cache{_mode}")
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
