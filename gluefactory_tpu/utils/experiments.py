@@ -78,8 +78,17 @@ def get_last_checkpoint(exp, allow_interrupted: bool = True) -> Path:
     if (Path(exp_dir) / "state").exists():  # already a checkpoint dir
         return Path(exp_dir)
     ckpts = _ckpt_dirs(Path(exp_dir))
-    if allow_interrupted and (Path(exp_dir) / "checkpoint_interrupted").exists():
-        ckpts = ckpts + [(-1, Path(exp_dir) / "checkpoint_interrupted")]
+    intr = Path(exp_dir) / "checkpoint_interrupted"
+    if allow_interrupted and intr.exists():
+        # rank the interrupted checkpoint by its RECORDED step — appending
+        # it unconditionally last used to beat newer numbered checkpoints
+        # (observed r5: an OOM-killed run restored to a stale interrupted
+        # save 2350 iters behind checkpoint_best)
+        try:
+            step = int(json.loads((intr / "meta.json").read_text())["step"])
+        except Exception:
+            step = -1
+        ckpts = sorted(ckpts + [(step, intr)])
     if not ckpts:
         raise FileNotFoundError(f"no checkpoints in {exp_dir}")
     return ckpts[-1][1]
