@@ -9,6 +9,10 @@ rendered two-plane world (textured background + closer foreground quad)
 so there is real parallax and the essential geometry is well-posed.
 """
 
+import os
+import subprocess
+import sys
+
 import cv2
 import numpy as np
 import pytest
@@ -190,7 +194,28 @@ def sequence_long():
     return np.stack(imgs), np.stack(Rs), np.stack(ts)
 
 
-def test_long_trajectory_loop_closure_ba(sequence_long):
+def test_long_trajectory_loop_closure_ba():
+    """Subprocess wrapper: the 56-frame run compiles a large front-end
+    graph on top of a full suite's accumulated executables, which
+    segfaulted the shared process twice (XLA CPU compile-cache read, r5);
+    standalone it is reliable. Same isolation pattern as test_multihost."""
+    if os.environ.get("SLAM_E2E_INNER") == "1":
+        pytest.skip("inner run")
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest",
+         f"{__file__}::test_long_trajectory_inner", "-x", "-q", "-s",
+         "--no-header", "-p", "no:cacheprovider"],
+        env={**os.environ, "SLAM_E2E_INNER": "1"},
+        capture_output=True, text=True, timeout=2200,
+    )
+    assert r.returncode == 0, f"inner run failed:\n{r.stdout[-3000:]}\n{r.stderr[-2000:]}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("SLAM_E2E_INNER") != "1",
+    reason="runs via the subprocess wrapper above",
+)
+def test_long_trajectory_inner(sequence_long):
     """North-star-shaped SLAM e2e (VERDICT r4 item 6): 56 rendered frames on
     an out-and-back trajectory with a revisit, the FULL back-end from
     pixels: SIFT -> NN matching -> H/E model-selection RANSAC -> chained
