@@ -17,6 +17,21 @@ from ..geometry.gt_generation import IGNORE_FEATURE, UNMATCHED_FEATURE
 from ..geometry.homography import homography_corner_error, sym_homography_error, warp_points
 from ..geometry.wrappers import Camera, Pose
 from ..robust_estimators import load_estimator
+
+
+# Estimator instances hold their jitted solver: constructing a fresh one per
+# pair re-traces it every call, which through the remote-compile tunnel
+# measured 30-75 s/pair on the endopatches eval loop (r5). Cache instances
+# per (kind, name, conf) — estimators are stateless w.r.t. data.
+_ESTIMATOR_CACHE: dict = {}
+
+
+def _cached_estimator(kind, conf):
+    key = (kind, conf["estimator"],
+           tuple(sorted((k, str(v)) for k, v in conf.to_dict().items())))
+    if key not in _ESTIMATOR_CACHE:
+        _ESTIMATOR_CACHE[key] = load_estimator(kind, conf["estimator"])(conf)
+    return _ESTIMATOR_CACHE[key]
 from ..utils.tools import AUCMetric
 
 
@@ -152,7 +167,7 @@ def eval_matches_depth(data: dict, pred: dict) -> dict:
 def eval_homography_robust(data: dict, pred: dict, conf) -> dict:
     """RANSAC homography error (reference `eval/utils.py:225-275`)."""
     H_gt = jnp.asarray(data["H_0to1"])
-    estimator = load_estimator("homography", conf["estimator"])(conf)
+    estimator = _cached_estimator("homography", conf)
     p0, p1, scores, valid = get_matches_scores(
         pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
     )
@@ -205,7 +220,7 @@ def eval_relative_pose_robust(data: dict, pred: dict, conf) -> dict:
     p0, p1, scores, valid = get_matches_scores(
         pred["keypoints0"], pred["keypoints1"], pred["matches0"], pred["matching_scores0"]
     )
-    estimator = load_estimator("relative_pose", conf["estimator"])(conf)
+    estimator = _cached_estimator("relative_pose", conf)
     est = estimator(
         {
             "m_kpts0": jnp.asarray(p0),
